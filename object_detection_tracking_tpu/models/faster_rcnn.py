@@ -1,0 +1,337 @@
+"""Faster/Mask-RCNN-FPN detector — one jit-compiled forward, static shapes.
+
+TPU-first redesign of the reference Mask_RCNN_FPN graph (models.py:266-1812):
+
+  * Every shape is static. The image size (h, w) is a compile-time constant
+    (one XLA executable per video resolution); proposals and detections are
+    fixed-size padded arrays with validity masks — the reference's own
+    batched path already works this way (final_valid_indices,
+    models.py:2329-2336), we make it universal.
+  * NHWC + bf16 compute on the MXU; parameters stay f32.
+  * NMS is the exact greedy solution computed by Jacobi fixpoint
+    (ops/nms.py); ROIAlign is a single packed-level gather (ops/roi_align.py)
+    with the exact crop_and_resize fpcoor transform.
+  * Batched inference is `vmap` of the per-image tail over a natively
+    batched backbone — no separate "multi" model class (replaces
+    Mask_RCNN_FPN_multi, models.py:1969-3486).
+  * Pad-region anchors are masked out with compile-time masks instead of the
+    reference's dynamic feature slicing (models.py:372-400).
+
+Outputs per image (R = config.result_per_im):
+  final_boxes [R, 4] x1y1x2y2 (image coords), final_labels [R] int32 (>=1),
+  final_probs [R], final_valid [R] bool, fpn_box_feat [R, 7, 7, 256]
+  (+ final_masks [R, 28, 28] if add_mask).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DetectorConfig
+from ..ops import anchors as anchor_lib
+from ..ops.boxes import clip_boxes, decode_boxes
+from ..ops.nms import nms
+from ..ops.roi_align import multilevel_roi_align, roi_align
+from . import heads as heads_lib
+from .fpn import fpn_model, init_fpn, init_rpn_head, rpn_head
+from .resnet import init_resnet, resnet_c2345
+
+# ImageNet BGR mean/std (the host feeds cv2 BGR frames; models.py:340-352)
+_BGR_MEAN = np.array([0.406, 0.456, 0.485], np.float32)
+_BGR_STD = np.array([0.225, 0.224, 0.229], np.float32)
+
+
+def _round_up(x: int, m: int) -> int:
+    return int(math.ceil(x / m) * m)
+
+
+class FasterRCNNFPN:
+    """Stateless model object: holds config + init/apply functions."""
+
+    def __init__(self, config: DetectorConfig):
+        self.config = config
+        cfg = config
+        if cfg.use_basic_block:
+            self.c_channels = (64, 128, 256, 512)
+        elif cfg.use_resnext:
+            self.c_channels = (256, 512, 1024, 2048)
+        else:
+            self.c_channels = (256, 512, 1024, 2048)
+        # partial-class gather indices (static; models.py:805-829)
+        if cfg.partial_classes:
+            full = dict(
+                __import__(
+                    "object_detection_tracking_tpu.class_ids",
+                    fromlist=["coco_obj_class_to_id"]).coco_obj_class_to_id)
+            ids = [full[name] for name in cfg.partial_classes]
+            self.partial_label_idx = np.array([0] + ids, np.int64)
+            self.partial_box_idx = np.array([i - 1 for i in ids], np.int64)
+            self.num_out_class = len(ids) + 1
+        else:
+            self.partial_label_idx = None
+            self.partial_box_idx = None
+            self.num_out_class = cfg.num_class
+
+    # ------------------------------------------------------------------
+    # params
+
+    def init_params(self, rng) -> Dict:
+        cfg = self.config
+        r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
+        params = {
+            "resnet": init_resnet(r1, cfg.resnet_num_block,
+                                  cfg.use_basic_block,
+                                  use_se=cfg.use_se,
+                                  use_resnext=cfg.use_resnext),
+            "fpn": init_fpn(r2, self.c_channels, cfg.fpn_num_channel,
+                            use_gn=cfg.use_gn),
+            "rpn": init_rpn_head(r3, cfg.fpn_num_channel,
+                                 cfg.num_anchors_per_cell),
+            "fastrcnn": heads_lib.init_fastrcnn_2fc_head(
+                r4, cfg.num_class, cfg.fpn_num_channel, 7,
+                cfg.fpn_frcnn_fc_head_dim, cfg.use_frcnn_class_agnostic),
+        }
+        if cfg.add_mask:
+            params["maskrcnn"] = heads_lib.init_maskrcnn_head(
+                r5, cfg.num_class, cfg.fpn_num_channel, cfg.mrcnn_head_dim)
+        return params
+
+    # ------------------------------------------------------------------
+    # static geometry helpers
+
+    def _static_geometry(self, h: int, w: int):
+        """Anchor fields + pad-region validity masks for an (h, w) image
+        (all numpy compile-time constants)."""
+        cfg = self.config
+        hp = _round_up(h, cfg.fpn_resolution_requirement)
+        wp = _round_up(w, cfg.fpn_resolution_requirement)
+        fields = []
+        valids = []
+        for li, stride in enumerate(cfg.anchor_strides):
+            if li < 4:
+                fh, fw = hp // stride, wp // stride
+            else:  # p6 from stride-2 subsample of p5
+                fh = -(-(hp // 32) // 2)
+                fw = -(-(wp // 32) // 2)
+            field = anchor_lib.get_all_anchors(
+                stride, [cfg.anchor_sizes[li]], cfg.anchor_ratios, (fh, fw))
+            # reference slices p2..p4 features+anchors to ceil(true/stride)
+            # (models.py:372-400); p5/p6 extents already match. We mask.
+            vh = min(fh, -(-h // stride))
+            vw = min(fw, -(-w // stride))
+            valid = np.zeros((fh, fw, len(cfg.anchor_ratios)), bool)
+            valid[:vh, :vw, :] = True
+            fields.append(field)
+            valids.append(valid)
+        return hp, wp, fields, valids
+
+    # ------------------------------------------------------------------
+    # forward pieces
+
+    def preprocess(self, images: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
+        """[B, h, w, 3] BGR uint8/float -> padded normalized [B, hp, wp, 3]
+        in compute dtype (models.py:322-357 + backbone pad-to-multiple)."""
+        cfg = self.config
+        x = images.astype(jnp.float32) * (1.0 / 255.0)
+        x = (x - _BGR_MEAN) / _BGR_STD
+        h, w = x.shape[1:3]
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        return x.astype(jnp.dtype(cfg.compute_dtype))
+
+    def backbone(self, params, p_images: jnp.ndarray) -> List[jnp.ndarray]:
+        cfg = self.config
+        c2345 = resnet_c2345(
+            params["resnet"], p_images, cfg.resnet_num_block,
+            use_basic_block=cfg.use_basic_block,
+            use_dilations=cfg.use_dilations,
+            use_se=cfg.use_se, use_resnext=cfg.use_resnext,
+            freeze=cfg.freeze if cfg.is_train else -1)
+        return fpn_model(params["fpn"], c2345, use_gn=cfg.use_gn)
+
+    def _rpn_all_levels(self, params, p23456):
+        cfg = self.config
+        outs = [rpn_head(params["rpn"], p, cfg.num_anchors_per_cell)
+                for p in p23456]
+        return [o[0] for o in outs], [o[1] for o in outs]
+
+    def _proposals_single(self, label_logits, box_logits, fields, valids,
+                          h: int, w: int):
+        """Per-image FPN proposal generation (models.py:402-438 +
+        nn.py:1353-1400), static shapes. Returns (boxes [K,4], valid [K])."""
+        cfg = self.config
+        topk_per_level = (cfg.rpn_train_post_nms_topk if cfg.is_train
+                          else cfg.rpn_test_post_nms_topk)
+        all_boxes, all_scores, all_valid = [], [], []
+        for lvl in range(cfg.num_levels):
+            field = jnp.asarray(fields[lvl])          # [FH, FW, A, 4]
+            vmask = jnp.asarray(valids[lvl]).reshape(-1)
+            scores = label_logits[lvl].reshape(-1).astype(jnp.float32)
+            deltas = box_logits[lvl].reshape(-1, 4).astype(jnp.float32)
+            boxes = decode_boxes(deltas, field.reshape(-1, 4),
+                                 cfg.bbox_decode_clip)
+            n_l = scores.shape[0]
+            k_l = min(topk_per_level, n_l)
+            masked = jnp.where(vmask, scores, -1e30)
+            top_scores, top_idx = jax.lax.top_k(masked, k_l)
+            top_boxes = clip_boxes(boxes[top_idx], (h, w))
+            top_valid = vmask[top_idx]
+            wb = top_boxes[:, 2] - top_boxes[:, 0]
+            hb = top_boxes[:, 3] - top_boxes[:, 1]
+            top_valid &= (wb > cfg.rpn_min_size) & (hb > cfg.rpn_min_size)
+            sel, sel_valid = nms(top_boxes, top_scores, k_l,
+                                 cfg.rpn_proposal_nms_thres, valid=top_valid)
+            sel_c = jnp.maximum(sel, 0)
+            all_boxes.append(jnp.where(sel_valid[:, None],
+                                       top_boxes[sel_c], 0.0))
+            all_scores.append(jnp.where(sel_valid, top_scores[sel_c], -1e30))
+            all_valid.append(sel_valid)
+
+        boxes = jnp.concatenate(all_boxes, axis=0)
+        scores = jnp.concatenate(all_scores, axis=0)
+        valid = jnp.concatenate(all_valid, axis=0)
+        k = min(topk_per_level, boxes.shape[0])
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        return boxes[top_idx], valid[top_idx]
+
+    def _predictions_single(self, decoded, probs, prop_valid):
+        """Per-class NMS + global top-R (models.py:1258-1330), static.
+
+        decoded: [K, C-1, 4] clipped boxes; probs: [K, C]; prop_valid: [K].
+        Returns final (boxes [R,4], labels [R], probs [R], valid [R],
+        class_idx [R] — index into the C-1 box classes for mask gather)."""
+        cfg = self.config
+        r = cfg.result_per_im
+        cm1 = decoded.shape[1]
+        boxes_t = jnp.swapaxes(decoded, 0, 1)        # [C-1, K, 4]
+        probs_t = jnp.swapaxes(probs[:, 1:], 0, 1)   # [C-1, K]
+        vmask = jnp.broadcast_to(prop_valid[None, :], probs_t.shape)
+        vmask = vmask & (probs_t > cfg.result_score_thres)
+
+        def one_class(args):
+            b, s, v = args
+            idx, val = nms(b, s, r, cfg.fastrcnn_nms_iou_thres, valid=v)
+            idx_c = jnp.maximum(idx, 0)
+            return (jnp.where(val[:, None], b[idx_c], 0.0),
+                    jnp.where(val, s[idx_c], -1e30), val)
+
+        if cm1 <= 32:
+            cls_boxes, cls_probs, cls_valid = jax.vmap(
+                lambda b, s, v: one_class((b, s, v)))(boxes_t, probs_t, vmask)
+        else:
+            cls_boxes, cls_probs, cls_valid = jax.lax.map(
+                one_class, (boxes_t, probs_t, vmask))
+
+        flat_probs = cls_probs.reshape(-1)
+        flat_valid = cls_valid.reshape(-1)
+        flat_boxes = cls_boxes.reshape(-1, 4)
+        k = min(r, flat_probs.shape[0])
+        top_p, top_i = jax.lax.top_k(
+            jnp.where(flat_valid, flat_probs, -1e30), k)
+        final_valid = flat_valid[top_i]
+        final_boxes = jnp.where(final_valid[:, None], flat_boxes[top_i], 0.0)
+        class_idx = (top_i // r).astype(jnp.int32)    # 0..C-2
+        final_labels = jnp.where(final_valid, class_idx + 1, 0)
+        final_probs = jnp.where(final_valid, top_p, 0.0)
+        if k < r:  # pad up to R
+            pad = r - k
+            final_boxes = jnp.pad(final_boxes, ((0, pad), (0, 0)))
+            final_labels = jnp.pad(final_labels, (0, pad))
+            final_probs = jnp.pad(final_probs, (0, pad))
+            final_valid = jnp.pad(final_valid, (0, pad))
+            class_idx = jnp.pad(class_idx, (0, pad))
+        return final_boxes, final_labels, final_probs, final_valid, class_idx
+
+    # ------------------------------------------------------------------
+    # full forward
+
+    def forward(self, params, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Batched inference. images: [B, h, w, 3] BGR (uint8 or float,
+        0-255), h/w static. Returns dict of [B, ...] outputs."""
+        cfg = self.config
+        b, h, w = images.shape[0], images.shape[1], images.shape[2]
+        hp, wp, fields, valids = self._static_geometry(h, w)
+
+        p_images = self.preprocess(images, hp, wp)
+        p23456 = self.backbone(params, p_images)
+        label_logits, box_logits = self._rpn_all_levels(params, p23456)
+
+        prop_boxes, prop_valid = jax.vmap(
+            lambda *lv: self._proposals_single(
+                lv[:cfg.num_levels], lv[cfg.num_levels:], fields, valids,
+                h, w))(*label_logits, *box_logits)
+
+        # ROIAlign + head (flatten batch -> one big matmul batch)
+        k = prop_boxes.shape[1]
+        feat32 = [p.astype(jnp.float32) for p in p23456[:4]]
+        roi_feats = jax.vmap(
+            lambda f2, f3, f4, f5, bx: multilevel_roi_align(
+                [f2, f3, f4, f5], bx, cfg.anchor_strides[:4], 7)
+        )(feat32[0], feat32[1], feat32[2], feat32[3], prop_boxes)
+        roi_flat = roi_feats.reshape(b * k, 7, 7, cfg.fpn_num_channel)
+        roi_flat = roi_flat.astype(jnp.dtype(cfg.compute_dtype))
+
+        label_out, box_out = heads_lib.fastrcnn_2fc_head(
+            params["fastrcnn"], roi_flat, cfg.num_class,
+            cfg.use_frcnn_class_agnostic)
+        label_out = label_out.reshape(b, k, -1).astype(jnp.float32)
+        box_out = box_out.reshape(b, k, -1, 4).astype(jnp.float32)
+
+        if cfg.use_frcnn_class_agnostic:
+            box_out = jnp.broadcast_to(
+                box_out, (b, k, self.num_out_class - 1, 4))
+        if self.partial_label_idx is not None:
+            label_out = label_out[:, :, self.partial_label_idx]
+            if not cfg.use_frcnn_class_agnostic:
+                box_out = box_out[:, :, self.partial_box_idx, :]
+
+        reg_w = jnp.asarray(cfg.fastrcnn_bbox_reg_weights, jnp.float32)
+        anchors_rep = prop_boxes[:, :, None, :]
+        decoded = decode_boxes(box_out / reg_w, anchors_rep,
+                               cfg.bbox_decode_clip)
+        decoded = clip_boxes(decoded, (h, w))
+        probs = jax.nn.softmax(label_out, axis=-1)
+
+        fb, fl, fp, fv, fci = jax.vmap(self._predictions_single)(
+            decoded, probs, prop_valid)
+
+        box_feat = jax.vmap(
+            lambda f2, f3, f4, f5, bx: multilevel_roi_align(
+                [f2, f3, f4, f5], bx, cfg.anchor_strides[:4], 7)
+        )(feat32[0], feat32[1], feat32[2], feat32[3], fb)
+
+        out = {
+            "final_boxes": fb,
+            "final_labels": fl,
+            "final_probs": fp,
+            "final_valid": fv,
+            "fpn_box_feat": box_feat,
+        }
+
+        if cfg.add_mask and "maskrcnn" in params:
+            r = cfg.result_per_im
+            mask_roi = jax.vmap(
+                lambda f2, f3, f4, f5, bx: multilevel_roi_align(
+                    [f2, f3, f4, f5], bx, cfg.anchor_strides[:4], 14)
+            )(feat32[0], feat32[1], feat32[2], feat32[3], fb)
+            mask_roi = mask_roi.reshape(b * r, 14, 14, cfg.fpn_num_channel)
+            mask_logits = heads_lib.maskrcnn_up4conv_head(
+                params["maskrcnn"],
+                mask_roi.astype(jnp.dtype(cfg.compute_dtype)),
+                cfg.num_class).astype(jnp.float32)
+            mask_logits = mask_logits.reshape(b, r, 28, 28, -1)
+            sel = jnp.clip(fci, 0, mask_logits.shape[-1] - 1)
+            picked = jnp.take_along_axis(
+                mask_logits, sel[:, :, None, None, None], axis=-1)[..., 0]
+            out["final_masks"] = jax.nn.sigmoid(picked)
+
+        return out
+
+    def make_infer_fn(self):
+        """jit-compiled batched forward: fn(params, images[B,h,w,3])."""
+        return jax.jit(self.forward)

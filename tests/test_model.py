@@ -1,0 +1,73 @@
+import numpy as np
+import jax
+import pytest
+
+from object_detection_tracking_tpu.config import DetectorConfig
+from object_detection_tracking_tpu.models import get_model
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = DetectorConfig(
+        num_class=4, resnet_depth=18, short_edge_size=64, max_size=128,
+        rpn_test_post_nms_topk=32, result_per_im=8, compute_dtype="float32")
+    m = get_model(cfg)
+    params = m.init_params(jax.random.PRNGKey(0))
+    return cfg, m, params
+
+
+def test_forward_shapes(tiny):
+    cfg, m, params = tiny
+    imgs = np.random.RandomState(0).randint(
+        0, 255, (1, 48, 72, 3)).astype(np.uint8)
+    out = m.forward(params, imgs)
+    r = cfg.result_per_im
+    assert out["final_boxes"].shape == (1, r, 4)
+    assert out["final_labels"].shape == (1, r)
+    assert out["final_probs"].shape == (1, r)
+    assert out["final_valid"].shape == (1, r)
+    assert out["fpn_box_feat"].shape == (1, r, 7, 7, cfg.fpn_num_channel)
+    # boxes inside image
+    fb = np.asarray(out["final_boxes"])
+    assert fb.min() >= 0 and fb[..., 0::2].max() <= 72 and fb[..., 1::2].max() <= 48
+    # labels in range for valid dets
+    fl = np.asarray(out["final_labels"])
+    fv = np.asarray(out["final_valid"])
+    assert ((fl[fv] >= 1) & (fl[fv] < cfg.num_class)).all()
+
+
+def test_batch_equals_single(tiny):
+    """Batched forward must equal per-image forwards (the reference needed a
+    whole separate Mask_RCNN_FPN_multi class for this; here it's vmap)."""
+    cfg, m, params = tiny
+    rng = np.random.RandomState(1)
+    imgs = rng.randint(0, 255, (2, 48, 72, 3)).astype(np.uint8)
+    out_b = m.forward(params, imgs)
+    out_0 = m.forward(params, imgs[0:1])
+    out_1 = m.forward(params, imgs[1:2])
+    for k in ("final_boxes", "final_probs"):
+        np.testing.assert_allclose(
+            np.asarray(out_b[k][0]), np.asarray(out_0[k][0]),
+            atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(out_b[k][1]), np.asarray(out_1[k][0]),
+            atol=1e-3, rtol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(out_b["final_labels"][0]), np.asarray(out_0["final_labels"][0]))
+
+
+def test_backbone_geometry(tiny):
+    """c2..c5/p2..p6 extents follow the exact pad-to-multiple geometry."""
+    cfg, m, params = tiny
+    imgs = np.zeros((1, 48, 72, 3), np.uint8)
+    hp, wp, fields, valids = m._static_geometry(48, 72)
+    assert (hp, wp) == (64, 96)
+    p = m.backbone(params, m.preprocess(jax.numpy.asarray(imgs), hp, wp))
+    assert [x.shape[1:3] for x in p] == [
+        (16, 24), (8, 12), (4, 6), (2, 3), (1, 2)]
+    # anchor fields match feature extents
+    for lvl, f in enumerate(fields):
+        assert f.shape[:2] == tuple(p[lvl].shape[1:3])
+    # pad-region mask: image (48, 72) -> ceil/4 = (12, 18) valid cells at p2
+    assert valids[0][:12, :18].all()
+    assert not valids[0][12:, :].any() and not valids[0][:, 18:].any()
