@@ -54,8 +54,9 @@ def _round_up(x: int, m: int) -> int:
 class FasterRCNNFPN:
     """Stateless model object: holds config + init/apply functions."""
 
-    def __init__(self, config: DetectorConfig):
+    def __init__(self, config: DetectorConfig, keep_full_box_feat: bool = True):
         self.config = config
+        self.keep_full_box_feat = keep_full_box_feat
         cfg = config
         if cfg.use_basic_block:
             self.c_channels = (64, 128, 256, 512)
@@ -261,6 +262,13 @@ class FasterRCNNFPN:
         p23456 = self.backbone(params, p_images)
         label_logits, box_logits = self._rpn_all_levels(params, p23456)
 
+        # Materialize conv outputs before the gather/sort-heavy proposal
+        # machinery: without the barrier XLA fuses the RPN convs into every
+        # downstream consumer and rematerializes the backbone several times
+        # (measured 5x slowdown at B=4 on v5e).
+        p23456, label_logits, box_logits = jax.lax.optimization_barrier(
+            (p23456, label_logits, box_logits))
+
         prop_boxes, prop_valid = jax.vmap(
             lambda *lv: self._proposals_single(
                 lv[:cfg.num_levels], lv[cfg.num_levels:], fields, valids,
@@ -310,8 +318,13 @@ class FasterRCNNFPN:
             "final_labels": fl,
             "final_probs": fp,
             "final_valid": fv,
-            "fpn_box_feat": box_feat,
+            # 7x7-mean-pooled on device: this is the only form the trackers
+            # consume (deep_sort/utils.py:27-28) and it cuts the
+            # device->host transfer 49x vs shipping the full [R,7,7,256]
+            "pooled_box_feat": box_feat.mean(axis=(2, 3)),
         }
+        if self.keep_full_box_feat:
+            out["fpn_box_feat"] = box_feat
 
         if cfg.add_mask and "maskrcnn" in params:
             r = cfg.result_per_im

@@ -1,0 +1,27 @@
+"""Detection container (reference deep_sort/detection.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Detection:
+    """One detection: tlwh box, confidence, appearance feature."""
+
+    __slots__ = ("tlwh", "confidence", "feature")
+
+    def __init__(self, tlwh, confidence, feature):
+        self.tlwh = np.asarray(tlwh, np.float32)
+        self.confidence = float(confidence)
+        self.feature = np.asarray(feature, np.float32)
+
+    def to_tlbr(self) -> np.ndarray:
+        out = self.tlwh.copy()
+        out[2:] += out[:2]
+        return out
+
+    def to_xyah(self) -> np.ndarray:
+        out = self.tlwh.copy()
+        out[:2] += out[2:] / 2
+        out[2] /= out[3]
+        return out

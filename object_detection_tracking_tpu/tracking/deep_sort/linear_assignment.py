@@ -1,0 +1,97 @@
+"""Hungarian matching + matching cascade + Mahalanobis gate
+(reference deep_sort/linear_assignment.py).
+
+Assignment uses the native lapjv solver when built (tracking/assignment.py),
+falling back to scipy."""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from ..assignment import linear_sum_assignment
+from ..kalman import chi2inv95
+from .nn_matching import INFTY_COST
+
+GATED_COST = INFTY_COST
+
+
+def min_cost_matching(distance_metric: Callable, max_distance: float,
+                      tracks, detections,
+                      track_indices=None, detection_indices=None):
+    if track_indices is None:
+        track_indices = list(range(len(tracks)))
+    if detection_indices is None:
+        detection_indices = list(range(len(detections)))
+    if not detection_indices or not track_indices:
+        return [], track_indices, detection_indices
+
+    cost = distance_metric(tracks, detections, track_indices,
+                           detection_indices)
+    cost = np.where(cost > max_distance, max_distance + 1e-5, cost)
+    rows, cols = linear_sum_assignment(cost)
+
+    matches, unmatched_tracks, unmatched_dets = [], [], []
+    matched_rows = set(rows.tolist())
+    matched_cols = set(cols.tolist())
+    for r, tidx in enumerate(track_indices):
+        if r not in matched_rows:
+            unmatched_tracks.append(tidx)
+    for c, didx in enumerate(detection_indices):
+        if c not in matched_cols:
+            unmatched_dets.append(didx)
+    for r, c in zip(rows, cols):
+        tidx, didx = track_indices[r], detection_indices[c]
+        if cost[r, c] > max_distance:
+            unmatched_tracks.append(tidx)
+            unmatched_dets.append(didx)
+        else:
+            matches.append((tidx, didx))
+    return matches, unmatched_tracks, unmatched_dets
+
+
+def matching_cascade(distance_metric: Callable, max_distance: float,
+                     cascade_depth: int, tracks, detections,
+                     track_indices=None, detection_indices=None):
+    """Match tracks level by level of time_since_update, freshest first."""
+    if track_indices is None:
+        track_indices = list(range(len(tracks)))
+    if detection_indices is None:
+        detection_indices = list(range(len(detections)))
+
+    unmatched_dets = list(detection_indices)
+    matches = []
+    for level in range(cascade_depth):
+        if not unmatched_dets:
+            break
+        level_tracks = [
+            t for t in track_indices
+            if tracks[t].time_since_update == 1 + level]
+        if not level_tracks:
+            continue
+        m, _, unmatched_dets = min_cost_matching(
+            distance_metric, max_distance, tracks, detections,
+            level_tracks, unmatched_dets)
+        matches += m
+    matched_track_ids = {t for t, _ in matches}
+    unmatched_tracks = [t for t in track_indices if t not in matched_track_ids]
+    return matches, unmatched_tracks, unmatched_dets
+
+
+def gate_cost_matrix(kf, cost_matrix: np.ndarray, tracks, detections,
+                     track_indices, detection_indices,
+                     gated_cost: float = GATED_COST,
+                     only_position: bool = False) -> np.ndarray:
+    """Set cost to infinity where the detection is outside the track's
+    chi-square 0.95 Mahalanobis gate."""
+    gating_dim = 2 if only_position else 4
+    gating_threshold = chi2inv95[gating_dim]
+    measurements = np.asarray(
+        [detections[i].to_xyah() for i in detection_indices])
+    for row, tidx in enumerate(track_indices):
+        track = tracks[tidx]
+        d = kf.gating_distance(track.mean, track.covariance, measurements,
+                               only_position)
+        cost_matrix[row, d > gating_threshold] = gated_cost
+    return cost_matrix

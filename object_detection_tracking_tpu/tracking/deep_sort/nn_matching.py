@@ -1,0 +1,59 @@
+"""Appearance metric: per-track feature gallery with budget, nearest-neighbor
+cosine/euclidean cost (reference deep_sort/nn_matching.py)."""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+INFTY_COST = 1e5
+
+
+def _cosine_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    a = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+    b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+    return 1.0 - a @ b.T
+
+
+def _euclidean_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    a2 = np.square(a).sum(axis=1)[:, None]
+    b2 = np.square(b).sum(axis=1)[None, :]
+    d2 = np.maximum(a2 + b2 - 2.0 * a @ b.T, 0.0)
+    return d2
+
+
+class NearestNeighborDistanceMetric:
+    """For each target, keep up to ``budget`` recent features; the cost to a
+    detection is the minimum distance over the gallery."""
+
+    def __init__(self, metric: str, matching_threshold: float,
+                 budget: int | None = None):
+        if metric == "cosine":
+            self._metric = _cosine_distance
+        elif metric == "euclidean":
+            self._metric = _euclidean_distance
+        else:
+            raise ValueError("metric must be cosine | euclidean")
+        self.matching_threshold = matching_threshold
+        self.budget = budget
+        self.samples: Dict[int, List[np.ndarray]] = {}
+
+    def partial_fit(self, features, targets, active_targets):
+        for feat, target in zip(features, targets):
+            self.samples.setdefault(target, []).append(feat)
+            if self.budget is not None:
+                self.samples[target] = self.samples[target][-self.budget:]
+        self.samples = {k: self.samples[k] for k in active_targets}
+
+    def distance(self, features: np.ndarray,
+                 targets: List[int]) -> np.ndarray:
+        cost = np.zeros((len(targets), len(features)), np.float32)
+        for i, target in enumerate(targets):
+            cost[i, :] = self._metric(
+                np.asarray(self.samples[target]), features).min(axis=0)
+        return cost

@@ -1,0 +1,92 @@
+"""Deep SORT tracker: matching cascade on appearance (Mahalanobis-gated),
+IOU fallback for fresh tracks (reference deep_sort/tracker.py, defaults at
+tracker.py:40: max_iou_distance=0.5, max_age=60, n_init=1)."""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..kalman import KalmanFilter
+from . import iou_matching, linear_assignment
+from .track import Track, TrackState
+
+
+class Tracker:
+    def __init__(self, metric, max_iou_distance: float = 0.5,
+                 max_age: int = 60, n_init: int = 1):
+        self.metric = metric
+        self.max_iou_distance = max_iou_distance
+        self.max_age = max_age
+        self.n_init = n_init
+        self.kf = KalmanFilter()
+        self.tracks: List[Track] = []
+        self._next_id = 1
+
+    def predict(self):
+        for track in self.tracks:
+            track.predict(self.kf)
+
+    def update(self, detections):
+        matches, unmatched_tracks, unmatched_dets = self._match(detections)
+
+        for tidx, didx in matches:
+            self.tracks[tidx].update(self.kf, detections[didx])
+        for tidx in unmatched_tracks:
+            self.tracks[tidx].mark_missed()
+        for didx in unmatched_dets:
+            self._initiate_track(detections[didx])
+        self.tracks = [t for t in self.tracks if not t.is_deleted()]
+
+        # refresh the appearance gallery
+        active_targets = [t.track_id for t in self.tracks if t.is_confirmed()]
+        features, targets = [], []
+        for track in self.tracks:
+            if not track.is_confirmed():
+                continue
+            features += track.features
+            targets += [track.track_id] * len(track.features)
+            track.features = []
+        self.metric.partial_fit(
+            np.asarray(features) if features else np.zeros((0, 1)),
+            targets, active_targets)
+
+    def _match(self, detections):
+        def gated_metric(tracks, dets, track_indices, detection_indices):
+            feats = np.asarray([dets[i].feature for i in detection_indices])
+            targets = [tracks[i].track_id for i in track_indices]
+            cost = self.metric.distance(feats, targets)
+            return linear_assignment.gate_cost_matrix(
+                self.kf, cost, tracks, dets, track_indices,
+                detection_indices)
+
+        confirmed = [i for i, t in enumerate(self.tracks) if t.is_confirmed()]
+        unconfirmed = [i for i, t in enumerate(self.tracks)
+                       if not t.is_confirmed()]
+
+        # 1) appearance cascade over confirmed tracks
+        matches_a, unmatched_a, unmatched_dets = \
+            linear_assignment.matching_cascade(
+                gated_metric, self.metric.matching_threshold, self.max_age,
+                self.tracks, detections, confirmed)
+
+        # 2) IOU matching for unconfirmed + just-missed confirmed tracks
+        iou_candidates = unconfirmed + [
+            i for i in unmatched_a if self.tracks[i].time_since_update == 1]
+        unmatched_a = [
+            i for i in unmatched_a if self.tracks[i].time_since_update != 1]
+        matches_b, unmatched_b, unmatched_dets = \
+            linear_assignment.min_cost_matching(
+                iou_matching.iou_cost, self.max_iou_distance, self.tracks,
+                detections, iou_candidates, unmatched_dets)
+
+        return (matches_a + matches_b, unmatched_a + unmatched_b,
+                unmatched_dets)
+
+    def _initiate_track(self, detection):
+        mean, cov = self.kf.initiate(detection.to_xyah())
+        self.tracks.append(Track(
+            mean, cov, self._next_id, self.n_init, self.max_age,
+            detection.feature))
+        self._next_id += 1

@@ -1,0 +1,123 @@
+import numpy as np
+
+from object_detection_tracking_tpu.tracking.deep_sort import (
+    Detection, Tracker, create_obj_infos, filter_short_objs,
+    linear_inter_bbox)
+from object_detection_tracking_tpu.tracking.deep_sort.nn_matching import (
+    NearestNeighborDistanceMetric)
+from object_detection_tracking_tpu.tracking.kalman import KalmanFilter
+
+
+def make_det(x, y, w=20, h=40, feat=None, conf=0.95):
+    if feat is None:
+        feat = np.ones(8, np.float32)
+    return Detection([x, y, w, h], conf, feat)
+
+
+def test_kalman_roundtrip():
+    kf = KalmanFilter()
+    mean, cov = kf.initiate(np.array([50.0, 60.0, 0.5, 40.0]))
+    mean, cov = kf.predict(mean, cov)
+    mean, cov = kf.update(mean, cov, np.array([52.0, 62.0, 0.5, 40.0]))
+    assert abs(mean[0] - 51) < 2 and abs(mean[1] - 61) < 2
+    d = kf.gating_distance(mean, cov, np.array([[52.0, 62.0, 0.5, 40.0],
+                                                [500.0, 500.0, 0.5, 40.0]]))
+    assert d[0] < d[1]
+
+
+def test_kalman_multi_predict_matches_single():
+    kf = KalmanFilter()
+    m1, c1 = kf.initiate(np.array([10.0, 20.0, 0.5, 40.0]))
+    m2, c2 = kf.initiate(np.array([90.0, 80.0, 1.0, 30.0]))
+    sm1, sc1 = kf.predict(m1, c1)
+    sm2, sc2 = kf.predict(m2, c2)
+    bm, bc = kf.multi_predict(np.stack([m1, m2]), np.stack([c1, c2]))
+    np.testing.assert_allclose(bm[0], sm1, atol=1e-10)
+    np.testing.assert_allclose(bc[1], sc2, atol=1e-10)
+
+
+def test_tracker_follows_one_object():
+    metric = NearestNeighborDistanceMetric("cosine", 0.5, budget=5)
+    tracker = Tracker(metric, n_init=1)
+    xs = [10, 14, 18, 22, 26]
+    for x in xs:
+        tracker.predict()
+        tracker.update([make_det(x, 30)])
+    assert len(tracker.tracks) == 1
+    t = tracker.tracks[0]
+    assert t.is_confirmed() and t.track_id == 1
+    tlwh = t.to_tlwh()
+    assert abs(tlwh[0] - 26) < 4
+
+
+def test_tracker_two_objects_stable_ids():
+    metric = NearestNeighborDistanceMetric("cosine", 0.5, budget=5)
+    tracker = Tracker(metric, n_init=1)
+    fa = np.zeros(8, np.float32); fa[0] = 1
+    fb = np.zeros(8, np.float32); fb[1] = 1
+    for step in range(6):
+        tracker.predict()
+        tracker.update([
+            make_det(10 + 4 * step, 30, feat=fa),
+            make_det(300 - 4 * step, 200, feat=fb),
+        ])
+    assert len(tracker.tracks) == 2
+    ids = sorted(t.track_id for t in tracker.tracks)
+    assert ids == [1, 2]
+    # identity is consistent: track 1 should be near the "a" trajectory
+    t1 = [t for t in tracker.tracks if t.track_id == 1][0]
+    assert t1.to_tlwh()[0] < 100
+
+
+def test_tracker_handles_miss_and_reacquire():
+    metric = NearestNeighborDistanceMetric("cosine", 0.5, budget=5)
+    tracker = Tracker(metric, n_init=1, max_age=10)
+    f = np.ones(8, np.float32)
+    # two hits -> confirmed
+    tracker.predict(); tracker.update([make_det(10, 10, feat=f)])
+    tracker.predict(); tracker.update([make_det(11, 10, feat=f)])
+    assert tracker.tracks[0].is_confirmed()
+    # miss, then reacquire via the appearance cascade: same id survives
+    tracker.predict(); tracker.update([])
+    tracker.predict(); tracker.update([make_det(13, 11, feat=f)])
+    assert len(tracker.tracks) == 1
+    assert tracker.tracks[0].track_id == 1
+    assert tracker.tracks[0].time_since_update == 0
+
+
+def test_tentative_track_dies_on_first_miss():
+    """Reference parity: with n_init=1 a track confirms on its *second*
+    update, so a single-frame object followed by a miss is deleted
+    (deep_sort/track.py mark_missed)."""
+    metric = NearestNeighborDistanceMetric("cosine", 0.5, budget=5)
+    tracker = Tracker(metric, n_init=1, max_age=10)
+    tracker.predict(); tracker.update([make_det(10, 10)])
+    tracker.predict(); tracker.update([])
+    assert len(tracker.tracks) == 0
+
+
+def test_create_obj_infos_filters():
+    boxes = np.array([[0, 0, 10, 20], [5, 5, 25, 45], [1, 1, 9, 9]], np.float32)
+    labels = np.array([1, 1, 2])
+    probs = np.array([0.9, 0.5, 0.99])
+    feats = np.ones((3, 4), np.float32)
+    valid = np.array([True, True, True])
+    dets = create_obj_infos(boxes, labels, probs, feats, valid,
+                            target_class_id=1, min_confidence=0.85)
+    assert len(dets) == 1
+    np.testing.assert_allclose(dets[0].tlwh, [0, 0, 10, 20])
+
+
+def test_linear_inter_and_filter_short():
+    rows = np.array([
+        [0, 1, 10, 10, 5, 5],
+        [8, 1, 18, 18, 5, 5],
+        [0, 2, 50, 50, 5, 5],   # one-frame track -> filtered
+    ], np.float32)
+    interp = linear_inter_bbox(rows, frame_gap=8)
+    f4 = interp[(interp[:, 0] == 4) & (interp[:, 1] == 1)]
+    assert len(f4) == 1
+    np.testing.assert_allclose(f4[0, 2:4], [14, 14])
+    filtered = filter_short_objs(interp, min_frames=2)
+    assert not (filtered[:, 1] == 2).any()
+    assert (filtered[:, 1] == 1).sum() == 9  # frames 0..8
