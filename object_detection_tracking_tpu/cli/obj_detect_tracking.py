@@ -1,0 +1,270 @@
+"""Video object detection + tracking CLI.
+
+TPU-native counterpart of the reference ``obj_detect_tracking.py`` (and its
+_multi/_queuer variants — batching and threaded prefetch are always on
+here): per video, decode->resize on host threads, batched jit detector on
+the TPU with pipelined transfers, Deep SORT per tracked class on host,
+outputs per-frame detection JSON and MOT-format track txt that downstream
+eval.py / track_to_json.py pipelines consume unchanged.
+
+Example:
+  python -m object_detection_tracking_tpu.cli.obj_detect_tracking \
+    --video_dir videos --video_lst_file videos.lst \
+    --model_path model.npz --version 5 --num_class 16 \
+    --frame_gap 8 --im_batch_size 8 \
+    --get_tracking --tracking_dir tracks_out --out_dir json_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..class_ids import coco_obj_to_actev_obj
+from ..config import DetectorConfig
+from ..data import VideoEnqueuer, open_video
+from ..models import get_model
+from ..runtime import DetectionRunner, PerformanceLogger
+from ..tracking.deep_sort import (Tracker, create_obj_infos, det_level_nms,
+                                  filter_short_objs, linear_inter_bbox)
+from ..tracking.deep_sort.nn_matching import NearestNeighborDistanceMetric
+from ..utils.weights import load_weights
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--video_dir", required=True)
+    parser.add_argument("--video_lst_file", required=True,
+                        help="one video filename per line")
+    parser.add_argument("--out_dir", default=None,
+                        help="per-frame detection json output dir")
+    parser.add_argument("--model_path", default=None,
+                        help=".npz checkpoint (tensorpack-style names)")
+    parser.add_argument("--version", type=int, default=4)
+    parser.add_argument("--num_class", type=int, default=16)
+    parser.add_argument("--is_coco_model", action="store_true")
+    parser.add_argument("--use_partial_classes", action="store_true")
+    parser.add_argument("--resnet50", action="store_true")
+    parser.add_argument("--resnet152", action="store_true")
+    parser.add_argument("--max_size", type=int, default=1920)
+    parser.add_argument("--short_edge_size", type=int, default=1080)
+    parser.add_argument("--frame_gap", type=int, default=8)
+    parser.add_argument("--im_batch_size", type=int, default=1)
+    parser.add_argument("--threshold_conf", type=float, default=0.0001)
+    parser.add_argument("--compute_dtype", default="bfloat16")
+    # tracking
+    parser.add_argument("--get_tracking", action="store_true")
+    parser.add_argument("--tracking_dir", default="/tmp/tracking_dir")
+    parser.add_argument("--tracking_objs", default="Person,Vehicle")
+    parser.add_argument("--min_confidence", type=float, default=0.85)
+    parser.add_argument("--min_detection_height", type=int, default=0)
+    parser.add_argument("--max_cosine_distance", type=float, default=0.5)
+    parser.add_argument("--max_iou_distance", type=float, default=0.5)
+    parser.add_argument("--nn_budget", type=int, default=5)
+    parser.add_argument("--nms_max_overlap", type=float, default=0.85)
+    # misc
+    parser.add_argument("--use_lijun_video_loader", action="store_true",
+                        help="use the PyAV frame-accurate decoder")
+    parser.add_argument("--log_time_and_gpu", action="store_true")
+    parser.add_argument("--save_util_log_to", default=None)
+    parser.add_argument("--use_my_naming", action="store_true")
+    parser.add_argument("--test_frame_extraction", action="store_true")
+    parser.add_argument("--prefetch", type=int, default=10)
+    return parser.parse_args(argv)
+
+
+def build_config(args) -> DetectorConfig:
+    overrides = dict(
+        num_class=args.num_class,
+        short_edge_size=args.short_edge_size,
+        max_size=args.max_size,
+        result_score_thres=args.threshold_conf,
+        compute_dtype=args.compute_dtype,
+        resnet_depth=50 if args.resnet50 else (
+            152 if args.resnet152 else 101),
+    )
+    if args.use_partial_classes:
+        return DetectorConfig.coco_partial(**overrides)
+    if args.is_coco_model:
+        return DetectorConfig.coco(**overrides)
+    return DetectorConfig.from_version(args.version, **overrides)
+
+
+def process_video(args, cfg, runner, video_path, classid2name,
+                  coco_to_actev):
+    videoname = os.path.splitext(os.path.basename(video_path))[0]
+    try:
+        vcap = open_video(
+            video_path,
+            "pyav" if args.use_lijun_video_loader else "auto")
+    except Exception as e:
+        print(f"warning: cannot open {video_path}: {e}", file=sys.stderr)
+        return 0
+
+    tracking_objs = args.tracking_objs.split(",")
+    trackers = {}
+    results = {}
+    tentative_buf = {}
+    for obj in tracking_objs:
+        metric = NearestNeighborDistanceMetric(
+            "cosine", args.max_cosine_distance, args.nn_budget)
+        trackers[obj] = Tracker(metric,
+                                max_iou_distance=args.max_iou_distance)
+        results[obj] = []
+        tentative_buf[obj] = {}
+
+    video_out_path = None
+    if args.out_dir is not None:
+        video_out_path = os.path.join(args.out_dir, videoname)
+        os.makedirs(video_out_path, exist_ok=True)
+
+    enq = VideoEnqueuer(vcap, args.short_edge_size, args.max_size,
+                        frame_gap=args.frame_gap,
+                        batch_size=args.im_batch_size,
+                        prefetch=args.prefetch, pad_last_batch=True)
+
+    def batch_iter():
+        for imgs, scale, frame_idxs in enq.get():
+            yield imgs, (scale, frame_idxs)
+
+    frames_done = 0
+    for host_out, (scale, frame_idxs) in runner.run(batch_iter()):
+        for bi, cur_frame in enumerate(frame_idxs):
+            if cur_frame < 0:
+                continue  # last-batch padding
+            boxes = host_out["final_boxes"][bi]
+            labels = host_out["final_labels"][bi]
+            probs = host_out["final_probs"][bi]
+            valid = host_out["final_valid"][bi]
+            feats = host_out["pooled_box_feat"][bi]
+            frames_done += 1
+
+            if args.get_tracking:
+                for obj in tracking_objs:
+                    dets = create_obj_infos(
+                        boxes, labels, probs, feats, valid, classid2name,
+                        obj, scale=scale,
+                        min_confidence=args.min_confidence,
+                        min_detection_height=args.min_detection_height,
+                        coco_to_actev=coco_to_actev)
+                    dets = det_level_nms(dets, args.nms_max_overlap)
+                    tracker = trackers[obj]
+                    tracker.predict()
+                    tracker.update(dets)
+                    _store_tracks(tracker, cur_frame, results[obj],
+                                  tentative_buf[obj])
+
+            if video_out_path is not None:
+                _write_frame_json(args, video_out_path, videoname, cur_frame,
+                                  boxes, labels, probs, valid, scale,
+                                  classid2name)
+
+    if args.get_tracking:
+        for obj in tracking_objs:
+            out_dir = os.path.join(args.tracking_dir, videoname, obj)
+            os.makedirs(out_dir, exist_ok=True)
+            rows = sorted(results[obj], key=lambda r: (r[0], r[1]))
+            data = np.asarray(rows, np.float32).reshape(-1, 6)
+            data = linear_inter_bbox(data, args.frame_gap)
+            data = filter_short_objs(data)
+            with open(os.path.join(out_dir, f"{videoname}.txt"), "w") as fw:
+                for r in data.tolist():
+                    fw.write("%d,%d,%.2f,%.2f,%.2f,%.2f,1,-1,-1,-1\n"
+                             % (r[0], r[1], r[2], r[3], r[4], r[5]))
+
+    if args.test_frame_extraction:
+        print("video %s got %s frames, loader said frame count is %s"
+              % (videoname, enq.frames_read, vcap.num_frames))
+    return frames_done
+
+
+def _store_tracks(tracker, cur_frame, rows, tent_buf):
+    """Buffer tentative-track boxes; flush them once the track confirms
+    (reference obj_detect_tracking.py:668-695)."""
+    for track in tracker.tracks:
+        if not track.is_confirmed() or track.time_since_update > 1:
+            if (not track.is_confirmed()) and track.time_since_update == 0:
+                b = track.to_tlwh()
+                tent_buf.setdefault(track.track_id, []).append(
+                    [cur_frame, track.track_id, b[0], b[1], b[2], b[3]])
+            continue
+        b = track.to_tlwh()
+        if track.track_id in tent_buf:
+            rows.extend(tent_buf.pop(track.track_id))
+        rows.append([cur_frame, track.track_id, b[0], b[1], b[2], b[3]])
+
+
+def _write_frame_json(args, video_out_path, videoname, cur_frame, boxes,
+                      labels, probs, valid, scale, classid2name):
+    pred = []
+    for i in np.flatnonzero(valid):
+        box = boxes[i] / scale
+        x, y = float(box[0]), float(box[1])
+        w, h = float(box[2] - box[0]), float(box[3] - box[1])
+        cat_id = int(labels[i])
+        pred.append({
+            "category_id": cat_id,
+            "cat_name": classid2name.get(cat_id, str(cat_id)),
+            "score": float(round(float(probs[i]), 7)),
+            "bbox": [round(x, 2), round(y, 2), round(w, 2), round(h, 2)],
+            "segmentation": None,
+        })
+    if args.use_my_naming:
+        name = "%s_F_%08d.json" % (videoname, cur_frame)
+    else:
+        name = "%d.json" % cur_frame
+    with open(os.path.join(video_out_path, name), "w") as f:
+        json.dump(pred, f)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    from ..runtime.aot import enable_persistent_cache
+    enable_persistent_cache()
+    cfg = build_config(args)
+    model = get_model(cfg)
+    import jax
+    if args.model_path:
+        params = load_weights(args.model_path, model)
+    else:
+        print("warning: no --model_path, using random weights",
+              file=sys.stderr)
+        params = model.init_params(jax.random.PRNGKey(0))
+    runner = DetectionRunner(model, params)
+
+    classid2name = cfg.classid2name
+    coco_to_actev = None
+    if args.is_coco_model or args.use_partial_classes:
+        # tracked classes are named in ActEV terms (Person/Vehicle/Bike)
+        coco_to_actev = dict(coco_obj_to_actev_obj)
+
+    perf = None
+    if args.log_time_and_gpu:
+        perf = PerformanceLogger(interval=5.0).start()
+    start = time.time()
+
+    with open(args.video_lst_file) as f:
+        videos = [os.path.join(args.video_dir, line.strip())
+                  for line in f if line.strip()]
+    total_frames = 0
+    for video in videos:
+        total_frames += process_video(args, cfg, runner, video,
+                                      classid2name, coco_to_actev)
+
+    elapsed = time.time() - start
+    print("total run time %.1fs, %d frames, %.2f fps"
+          % (elapsed, total_frames, total_frames / max(elapsed, 1e-6)))
+    if perf is not None:
+        perf.end()
+        print("perf:", perf.summary())
+        if args.save_util_log_to:
+            perf.save(args.save_util_log_to)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Prefetch enqueuers: decode/resize on host threads feeding bounded queues.
+
+Reference: VideoEnqueuer (enqueuer_thread.py:168-317) and DatasetEnqueuer
+(enqueuer_thread.py:19-154). The TPU build keeps the same thread discipline
+(bounded queue.Queue, sentinel on completion) but batches are contiguous
+numpy arrays ready for one host->HBM transfer.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from ..ops.boxes import get_new_hw
+from .video import VideoReader
+
+_SENTINEL = object()
+
+
+class VideoEnqueuer:
+    """Decode thread: read frame -> skip by frame_gap -> resize to
+    (short_edge_size, max_size) -> batch.
+
+    ``get()`` yields (frames [b, H, W, 3] uint8 BGR, scale, frame_indices);
+    the last batch may be short. All frames of one video share one (H, W),
+    so the detector compiles once per video resolution.
+    """
+
+    def __init__(self, vcap: VideoReader, short_edge_size: int,
+                 max_size: int, frame_gap: int = 1, batch_size: int = 1,
+                 prefetch: int = 10, start: bool = True,
+                 pad_last_batch: bool = False):
+        self.vcap = vcap
+        self.short_edge_size = short_edge_size
+        self.max_size = max_size
+        self.frame_gap = frame_gap
+        self.batch_size = batch_size
+        self.pad_last_batch = pad_last_batch
+        self.queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self.frames_read = 0
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        if start:
+            self.thread.start()
+
+    def _run(self):
+        cur_frame = 0
+        batch_imgs: List[np.ndarray] = []
+        batch_idx: List[int] = []
+        scale = None
+        try:
+            while not self._stop.is_set():
+                ok, frame = self.vcap.read()
+                if not ok:
+                    break
+                if cur_frame % self.frame_gap != 0:
+                    cur_frame += 1
+                    continue
+                h, w = frame.shape[:2]
+                neww, newh = get_new_hw(h, w, self.short_edge_size,
+                                        self.max_size)
+                if (neww, newh) != (w, h):
+                    frame = cv2.resize(frame, (neww, newh),
+                                       interpolation=cv2.INTER_LINEAR)
+                scale = (newh * 1.0 / h + neww * 1.0 / w) / 2.0
+                batch_imgs.append(frame)
+                batch_idx.append(cur_frame)
+                self.frames_read += 1
+                cur_frame += 1
+                if len(batch_imgs) == self.batch_size:
+                    self.queue.put((np.stack(batch_imgs), scale,
+                                    list(batch_idx)))
+                    batch_imgs, batch_idx = [], []
+            if batch_imgs and not self._stop.is_set():
+                n_valid = len(batch_imgs)
+                if self.pad_last_batch:
+                    while len(batch_imgs) < self.batch_size:
+                        batch_imgs.append(np.zeros_like(batch_imgs[0]))
+                        batch_idx.append(-1)
+                self.queue.put((np.stack(batch_imgs), scale, list(batch_idx)))
+                del n_valid
+        finally:
+            self.queue.put(_SENTINEL)
+            self.vcap.release()
+
+    def get(self) -> Iterator[Tuple[np.ndarray, float, List[int]]]:
+        while True:
+            item = self.queue.get()
+            if item is _SENTINEL:
+                return
+            yield item
+
+    def stop(self):
+        self._stop.set()
+        try:
+            while True:
+                self.queue.get_nowait()
+        except queue.Empty:
+            pass
+
+
+class DatasetEnqueuer:
+    """Ordered multi-worker prefetch over an indexable dataset
+    (DatasetEnqueuer, enqueuer_thread.py:19-154).
+
+    dataset must provide ``num_samples``, ``get_sample(i)`` and
+    ``collect_batch(samples)``."""
+
+    def __init__(self, dataset, prefetch: int = 5, num_workers: int = 1,
+                 start: bool = True):
+        self.dataset = dataset
+        self.batch_size = getattr(dataset, "batch_size", 1)
+        self.queue: "queue.Queue" = queue.Queue(
+            maxsize=prefetch * max(self.batch_size, 1))
+        self._stop = threading.Event()
+        self.num_workers = max(1, num_workers)
+        self.threads: List[threading.Thread] = []
+        if start:
+            self.start()
+
+    def start(self):
+        t = threading.Thread(target=self._run, daemon=True)
+        t.start()
+        self.threads.append(t)
+
+    def _run(self):
+        try:
+            n = self.dataset.num_samples
+            if self.num_workers > 1:
+                from multiprocessing.pool import ThreadPool
+                pool = ThreadPool(self.num_workers)
+                for sample in pool.imap(self.dataset.get_sample, range(n)):
+                    if self._stop.is_set():
+                        break
+                    self.queue.put(sample)
+                pool.terminate()
+            else:
+                for i in range(n):
+                    if self._stop.is_set():
+                        break
+                    self.queue.put(self.dataset.get_sample(i))
+        finally:
+            self.queue.put(_SENTINEL)
+
+    def get(self):
+        batch = []
+        while True:
+            item = self.queue.get()
+            if item is _SENTINEL:
+                break
+            batch.append(item)
+            if len(batch) == self.batch_size:
+                yield self.dataset.collect_batch(batch)
+                batch = []
+        if batch:
+            yield self.dataset.collect_batch(batch)
+
+    def stop(self):
+        self._stop.set()
+        try:
+            while True:
+                self.queue.get_nowait()
+        except queue.Empty:
+            pass

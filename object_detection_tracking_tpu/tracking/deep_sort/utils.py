@@ -16,22 +16,64 @@ from .detection import Detection
 
 def create_obj_infos(boxes_xyxy: np.ndarray, labels: np.ndarray,
                      probs: np.ndarray, feats: np.ndarray,
-                     valid: np.ndarray, target_class_id: int,
+                     valid: np.ndarray, classid2name: Dict[int, str],
+                     tracking_obj: str, scale: float = 1.0,
                      min_confidence: float = 0.85,
-                     min_detection_height: float = 0.0) -> List[Detection]:
-    """Select one class's detections and wrap them for the tracker.
-
-    boxes_xyxy [R, 4], labels [R], probs [R], feats [R, C] (pooled),
-    valid [R]."""
-    sel = valid & (labels == target_class_id) & (probs >= min_confidence)
+                     min_detection_height: float = 0.0,
+                     coco_to_actev: Dict[str, str] = None
+                     ) -> List[Detection]:
+    """Select one tracked class's detections and wrap them for the tracker
+    (reference deep_sort/utils.py:5-44): boxes scaled back to original frame
+    coords, optional COCO->ActEV class-name mapping, confidence and height
+    filters. feats [R, C] are the on-device-pooled embeddings."""
     dets = []
-    for i in np.flatnonzero(sel):
-        x1, y1, x2, y2 = boxes_xyxy[i]
+    for i in np.flatnonzero(valid):
+        cat_name = classid2name.get(int(labels[i]))
+        if cat_name is None:
+            continue
+        if coco_to_actev is not None:
+            cat_name = coco_to_actev.get(cat_name)
+            if cat_name is None:
+                continue
+        if cat_name != tracking_obj:
+            continue
+        conf = float(round(float(probs[i]), 7))
+        if conf < min_confidence:
+            continue
+        x1, y1, x2, y2 = boxes_xyxy[i] / scale
         tlwh = np.array([x1, y1, x2 - x1, y2 - y1], np.float32)
         if tlwh[3] < min_detection_height:
             continue
-        dets.append(Detection(tlwh, probs[i], feats[i]))
+        dets.append(Detection(tlwh, conf, feats[i]))
     return dets
+
+
+def det_level_nms(detections: List[Detection],
+                  max_overlap: float) -> List[Detection]:
+    """Detection-level greedy suppression before the tracker update
+    (application_util/preprocessing.py:6-73). Note the classic ROI-overlap
+    convention: intersection / candidate-area with the +1 pixel sizes."""
+    if max_overlap >= 1.0 or len(detections) <= 1:
+        return detections
+    boxes = np.array([d.tlwh for d in detections], np.float32)
+    scores = np.array([d.confidence for d in detections], np.float32)
+    x1, y1 = boxes[:, 0], boxes[:, 1]
+    x2, y2 = boxes[:, 0] + boxes[:, 2], boxes[:, 1] + boxes[:, 3]
+    area = (x2 - x1 + 1) * (y2 - y1 + 1)
+    idxs = np.argsort(scores)
+    pick = []
+    while len(idxs) > 0:
+        i = idxs[-1]
+        pick.append(i)
+        xx1 = np.maximum(x1[i], x1[idxs[:-1]])
+        yy1 = np.maximum(y1[i], y1[idxs[:-1]])
+        xx2 = np.minimum(x2[i], x2[idxs[:-1]])
+        yy2 = np.minimum(y2[i], y2[idxs[:-1]])
+        w = np.maximum(0, xx2 - xx1 + 1)
+        h = np.maximum(0, yy2 - yy1 + 1)
+        overlap = (w * h) / area[idxs[:-1]]
+        idxs = idxs[:-1][overlap <= max_overlap]
+    return [detections[i] for i in pick]
 
 
 def linear_inter_bbox(track_data: np.ndarray,

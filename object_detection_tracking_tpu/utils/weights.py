@@ -1,0 +1,162 @@
+"""Checkpoint conversion: reference TF/tensorpack weights -> our pytrees.
+
+The reference loads three formats (models.py:3489-3595): TF ckpt dirs,
+single .ckpt, and tensorpack-style .npz dicts keyed by TF variable names
+("group0/block0/conv1/W:0", BN stats as ".../bn/mean/EMA:0"). Without
+TensorFlow in this image we support:
+
+  * .npz with TF variable names  -> ``load_reference_npz``
+  * .npz / .orbax saved from this framework -> identity load
+
+Layout notes:
+  * conv kernels are HWIO in both stacks — no transpose;
+  * our activations are NHWC while the reference ran NCHW; the only
+    layout-sensitive weights are dense layers consuming flattened conv
+    maps: fc6 rows must be permuted (C,7,7) -> (7,7,C) (models.py:1030
+    dense-on-roi flatten order);
+  * BN: gamma/beta/mean/EMA/variance/EMA -> gamma/beta/mean/variance.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def _set_path(tree: Dict, path, value, strict: bool = True) -> bool:
+    node = tree
+    for k in path[:-1]:
+        if not isinstance(node, dict) or k not in node:
+            if strict:
+                raise KeyError("/".join(path))
+            return False
+        node = node[k]
+    k = path[-1]
+    if not isinstance(node, dict) or k not in node:
+        if strict:
+            raise KeyError("/".join(path))
+        return False
+    old = node[k]
+    if tuple(old.shape) != tuple(value.shape):
+        raise ValueError(
+            f"shape mismatch at {'/'.join(path)}: "
+            f"{tuple(old.shape)} vs {tuple(value.shape)}")
+    node[k] = value.astype(np.float32)
+    return True
+
+
+def _map_tf_name(name: str) -> Tuple[Tuple[str, ...], str]:
+    """TF variable name -> (path in our pytree, kind).
+
+    kind is "plain" or "fc6" (needs C-major -> HWC-major row permutation).
+    """
+    name = name.split(":")[0]
+    parts = name.split("/")
+
+    # BN stats: .../bn/mean/EMA -> .../bn/mean
+    if len(parts) >= 3 and parts[-1] == "EMA":
+        parts = parts[:-2] + [parts[-2]]
+    if parts[-1] == "variance":
+        pass
+
+    top = parts[0]
+    if top in ("fpn", "rpn"):
+        return tuple(parts), "plain"
+    if top == "fastrcnn":
+        kind = "fc6" if (len(parts) >= 2 and parts[1] == "fc6"
+                         and parts[-1] == "W") else "plain"
+        return tuple(parts), kind
+    if top == "maskrcnn":
+        return tuple(parts), "plain"
+    # backbone names live at root scope in the reference (conv0, group0..)
+    return tuple(["resnet"] + parts), "plain"
+
+
+def _permute_fc6_rows(w: np.ndarray, feat_dim: int = 256,
+                      pool: int = 7) -> np.ndarray:
+    """[(C*7*7), D] C-major rows -> [(7*7*C), D] HWC-major rows."""
+    d = w.shape[1]
+    w = w.reshape(feat_dim, pool, pool, d)
+    w = np.transpose(w, (1, 2, 0, 3))
+    return w.reshape(pool * pool * feat_dim, d)
+
+
+def load_reference_npz(path: str, model) -> Dict:
+    """Load a tensorpack/TF-named .npz into the model's parameter pytree.
+
+    Unknown keys are reported; missing model params keep their random init
+    (mirrors the reference's partial-restore behavior)."""
+    import jax.random
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = jax.tree.map(np.asarray, params)
+    weights = dict(np.load(path))
+
+    loaded, skipped = [], []
+    for name, value in weights.items():
+        base = name.split(":")[0]
+        leaf = base.split("/")[-1]
+        if "global_step" in base or leaf in (
+                "Adam", "Adam_1", "Momentum", "Adadelta", "Adadelta_1",
+                "beta1_power", "beta2_power"):
+            continue
+        path_t, kind = _map_tf_name(name)
+        if kind == "fc6":
+            value = _permute_fc6_rows(
+                value, model.config.fpn_num_channel, 7)
+        try:
+            ok = _set_path(params, path_t, value, strict=False)
+        except ValueError as e:
+            raise ValueError(f"converting {name}: {e}") from None
+        (loaded if ok else skipped).append(name)
+
+    if skipped:
+        print(f"warning: {len(skipped)}/{len(weights)} npz arrays not "
+              f"mapped: {sorted(skipped)[:8]}...")
+    print(f"loaded {len(loaded)} arrays from {path}")
+    return jax.tree.map(jax.numpy.asarray, params)
+
+
+def save_npz(path: str, params: Dict):
+    """Save a pytree as flat slash-named npz (our native format)."""
+    flat = {}
+
+    def rec(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(v, prefix + [k])
+        else:
+            flat["/".join(prefix)] = np.asarray(node)
+
+    rec(params, [])
+    np.savez(path, **flat)
+
+
+def load_npz(path: str, model) -> Dict:
+    """Load our native flat slash-named npz."""
+    import jax.random
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = jax.tree.map(np.asarray, params)
+    weights = dict(np.load(path))
+    for name, value in weights.items():
+        _set_path(params, tuple(name.split("/")), value, strict=True)
+    return jax.tree.map(jax.numpy.asarray, params)
+
+
+def load_weights(path: str, model) -> Dict:
+    """Dispatch on checkpoint flavor."""
+    if path.endswith(".npz"):
+        keys = np.load(path).files
+        if any(k.endswith(":0") or k.startswith(
+                ("group0/", "conv0/", "fpn/", "rpn/", "fastrcnn/"))
+               and "resnet/" not in k for k in keys[:50]):
+            # TF-named checkpoint unless it already uses our "resnet/" root
+            if not any(k.startswith("resnet/") for k in keys):
+                return load_reference_npz(path, model)
+        return load_npz(path, model)
+    raise ValueError(f"unsupported checkpoint format: {path} "
+                     "(expected .npz; TF .ckpt needs TensorFlow to read — "
+                     "convert offline with tools/convert_tf_ckpt.py)")

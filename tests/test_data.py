@@ -1,0 +1,66 @@
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from object_detection_tracking_tpu.data import (DatasetEnqueuer, ImageDataset,
+                                                VideoEnqueuer, open_video)
+
+
+def make_video(path, n_frames=25, w=64, h=48, fps=30):
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for i in range(n_frames):
+        frame = np.full((h, w, 3), i * 10 % 255, np.uint8)
+        cv2.rectangle(frame, (5 + i, 10), (15 + i, 30), (0, 255, 0), -1)
+        vw.write(frame)
+    vw.release()
+    return path
+
+
+def test_video_enqueuer_frame_gap_and_batches(tmp_path):
+    vid = make_video(str(tmp_path / "v.mp4"), n_frames=25)
+    vcap = open_video(vid)
+    enq = VideoEnqueuer(vcap, short_edge_size=48, max_size=64, frame_gap=8,
+                        batch_size=2, pad_last_batch=True)
+    batches = list(enq.get())
+    # frames 0, 8, 16, 24 -> 2 batches of 2
+    idxs = [i for _, _, fi in batches for i in fi]
+    assert idxs == [0, 8, 16, 24]
+    assert all(imgs.shape == (2, 48, 64, 3) for imgs, _, _ in batches)
+
+
+def test_video_enqueuer_short_last_batch_padded(tmp_path):
+    vid = make_video(str(tmp_path / "v2.mp4"), n_frames=17)
+    vcap = open_video(vid)
+    enq = VideoEnqueuer(vcap, short_edge_size=48, max_size=64, frame_gap=8,
+                        batch_size=2, pad_last_batch=True)
+    batches = list(enq.get())
+    assert [fi for _, _, fi in batches] == [[0, 8], [16, -1]]
+    assert batches[-1][0].shape[0] == 2  # padded to full batch
+
+
+def test_video_enqueuer_resize_scale(tmp_path):
+    vid = make_video(str(tmp_path / "v3.mp4"), n_frames=3, w=64, h=48)
+    vcap = open_video(vid)
+    enq = VideoEnqueuer(vcap, short_edge_size=24, max_size=32, frame_gap=1,
+                        batch_size=1)
+    imgs, scale, _ = next(enq.get())
+    assert imgs.shape == (1, 24, 32, 3)
+    assert abs(scale - 0.5) < 1e-6
+
+
+def test_image_dataset_enqueuer(tmp_path):
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"im{i}.jpg")
+        cv2.imwrite(p, np.full((40, 60, 3), i * 40, np.uint8))
+        paths.append(p)
+    ds = ImageDataset(paths, short_edge_size=20, max_size=30, batch_size=2)
+    enq = DatasetEnqueuer(ds, prefetch=2, num_workers=2)
+    batches = list(enq.get())
+    assert [len(b["img_names"]) for b in batches] == [2, 2, 1]
+    names = [n for b in batches for n in b["img_names"]]
+    assert names == [f"im{i}.jpg" for i in range(5)]  # order preserved
+    assert batches[0]["imgs"].shape == (2, 20, 30, 3)

@@ -102,9 +102,17 @@ def test_create_obj_infos_filters():
     probs = np.array([0.9, 0.5, 0.99])
     feats = np.ones((3, 4), np.float32)
     valid = np.array([True, True, True])
-    dets = create_obj_infos(boxes, labels, probs, feats, valid,
-                            target_class_id=1, min_confidence=0.85)
+    id2name = {1: "Person", 2: "Vehicle"}
+    dets = create_obj_infos(boxes, labels, probs, feats, valid, id2name,
+                            "Person", scale=1.0, min_confidence=0.85)
     assert len(dets) == 1
+    np.testing.assert_allclose(dets[0].tlwh, [0, 0, 10, 20])
+    # scale-back and coco mapping
+    dets = create_obj_infos(boxes * 2, labels, probs, feats, valid,
+                            {1: "car", 2: "person"}, "Vehicle", scale=2.0,
+                            min_confidence=0.5,
+                            coco_to_actev={"car": "Vehicle"})
+    assert len(dets) == 2
     np.testing.assert_allclose(dets[0].tlwh, [0, 0, 10, 20])
 
 
