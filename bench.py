@@ -1,0 +1,138 @@
+"""Driver benchmark: det+track throughput at 1280x720, frame_gap 8.
+
+Measures the full pipeline on the real TPU chip — host decode -> resize ->
+pipelined H2D -> jit Faster-RCNN-R50-FPN (COCO partial classes) -> pooled
+embeddings D2H -> Deep SORT (Person+Vehicle) -> MOT rows — on a synthetic
+720p video, and reports coverage relative to real time:
+
+    x_realtime = (processed_frames * frame_gap / video_fps) / wall_seconds
+
+vs_baseline is against the BASELINE.json north star of 8x real time per
+chip. Prints ONE json line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_video(path, n_frames, w=1280, h=720, fps=30):
+    import cv2
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    base = np.tile(np.linspace(40, 90, w, dtype=np.uint8), (h, 1))
+    base = np.stack([base] * 3, axis=-1)
+    rng = np.random.RandomState(0)
+    objs = [(rng.randint(0, w - 80), rng.randint(0, h - 160),
+             rng.randint(2, 6), rng.randint(-2, 3)) for _ in range(12)]
+    for i in range(n_frames):
+        frame = base.copy()
+        for k, (x0, y0, vx, vy) in enumerate(objs):
+            x = int(x0 + vx * i) % (w - 80)
+            y = int(y0 + vy * i) % (h - 160)
+            color = (int(50 + 40 * k) % 255, 80, (200 - 15 * k) % 255)
+            cv2.rectangle(frame, (x, y), (x + 60, y + 140), color, -1)
+        vw.write(frame)
+    vw.release()
+    return path
+
+
+def main():
+    t_setup = time.time()
+    import jax
+    from object_detection_tracking_tpu.config import DetectorConfig
+    from object_detection_tracking_tpu.data import VideoEnqueuer, open_video
+    from object_detection_tracking_tpu.models import get_model
+    from object_detection_tracking_tpu.runtime import (DetectionRunner,
+                                                       enable_persistent_cache)
+    from object_detection_tracking_tpu.tracking.deep_sort import (
+        Tracker, create_obj_infos)
+    from object_detection_tracking_tpu.tracking.deep_sort.nn_matching import (
+        NearestNeighborDistanceMetric)
+    from object_detection_tracking_tpu.class_ids import coco_obj_to_actev_obj
+
+    enable_persistent_cache()
+
+    FPS = 30
+    FRAME_GAP = 8
+    BATCH = 8
+    BENCH_SECONDS = 48  # 1440 frames -> 180 processed
+
+    tmp = "/tmp/odt_bench"
+    os.makedirs(tmp, exist_ok=True)
+    warm_path = os.path.join(tmp, "warm.mp4")
+    bench_path = os.path.join(tmp, "bench.mp4")
+    if not os.path.exists(warm_path):
+        make_video(warm_path, FRAME_GAP * BATCH * 2, fps=FPS)
+    if not os.path.exists(bench_path):
+        make_video(bench_path, BENCH_SECONDS * FPS, fps=FPS)
+
+    cfg = DetectorConfig.coco_partial(
+        resnet_depth=50, short_edge_size=720, max_size=1280)
+    model = get_model(cfg, "faster_rcnn")
+    params = model.init_params(jax.random.PRNGKey(0))
+    runner = DetectionRunner(model, params, depth=2)
+
+    classid2name = cfg.classid2name
+    coco_map = dict(coco_obj_to_actev_obj)
+
+    def run_video(path, track=True):
+        vcap = open_video(path)
+        enq = VideoEnqueuer(vcap, 720, 1280, frame_gap=FRAME_GAP,
+                            batch_size=BATCH, prefetch=8,
+                            pad_last_batch=True, pixel_format="i420")
+        trackers = {
+            obj: Tracker(NearestNeighborDistanceMetric("cosine", 0.5, 5))
+            for obj in ("Person", "Vehicle")}
+        n = 0
+        rows = 0
+        for host, (scale, fidx) in runner.run(
+                (imgs, (sc, fi)) for imgs, sc, fi in enq.get()):
+            for bi, f in enumerate(fidx):
+                if f < 0:
+                    continue
+                n += 1
+                if not track:
+                    continue
+                for obj, tr in trackers.items():
+                    dets = create_obj_infos(
+                        host["final_boxes"][bi], host["final_labels"][bi],
+                        host["final_probs"][bi], host["pooled_box_feat"][bi],
+                        host["final_valid"][bi], classid2name, obj,
+                        scale=scale, min_confidence=0.85,
+                        coco_to_actev=coco_map)
+                    tr.predict()
+                    tr.update(dets)
+                    rows += sum(t.is_confirmed() for t in tr.tracks)
+        return n
+
+    # warmup (compiles both full and last-batch shapes)
+    run_video(warm_path, track=False)
+    setup_s = time.time() - t_setup
+
+    t0 = time.time()
+    processed = run_video(bench_path, track=True)
+    elapsed = time.time() - t0
+
+    covered_video_s = processed * FRAME_GAP / FPS
+    x_rt = covered_video_s / elapsed
+    result = {
+        "metric": "det+track x-realtime per chip (1280x720, R50-FPN "
+                  "FasterRCNN partial-COCO + DeepSORT, frame_gap 8)",
+        "value": round(x_rt, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(x_rt / 8.0, 3),
+        "detail": {
+            "processed_frames": processed,
+            "wall_s": round(elapsed, 2),
+            "fps_processed": round(processed / elapsed, 2),
+            "setup_s": round(setup_s, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

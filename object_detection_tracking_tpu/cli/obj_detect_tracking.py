@@ -59,6 +59,12 @@ def get_args(argv=None):
     parser.add_argument("--compute_dtype", default="bfloat16")
     # tracking
     parser.add_argument("--get_tracking", action="store_true")
+    parser.add_argument("--tracker", default="deep_sort",
+                        choices=["deep_sort", "tmot"],
+                        help="tmot = the JDE tracker (reference "
+                        "obj_detect_tracking_multi_queuer_tmot.py)")
+    parser.add_argument("--track_max_second_lost", type=float, default=4.0)
+    parser.add_argument("--emb_max_dist", type=float, default=0.7)
     parser.add_argument("--tracking_dir", default="/tmp/tracking_dir")
     parser.add_argument("--tracking_objs", default="Person,Vehicle")
     parser.add_argument("--min_confidence", type=float, default=0.85)
@@ -75,6 +81,11 @@ def get_args(argv=None):
     parser.add_argument("--use_my_naming", action="store_true")
     parser.add_argument("--test_frame_extraction", action="store_true")
     parser.add_argument("--prefetch", type=int, default=10)
+    parser.add_argument("--pixel_format", default="auto",
+                        choices=["auto", "bgr", "i420"],
+                        help="i420 halves host->device bytes (device-side "
+                        "color conversion, cv2-exact); auto picks i420 "
+                        "when frame dims are even")
     return parser.parse_args(argv)
 
 
@@ -111,10 +122,18 @@ def process_video(args, cfg, runner, video_path, classid2name,
     results = {}
     tentative_buf = {}
     for obj in tracking_objs:
-        metric = NearestNeighborDistanceMetric(
-            "cosine", args.max_cosine_distance, args.nn_budget)
-        trackers[obj] = Tracker(metric,
-                                max_iou_distance=args.max_iou_distance)
+        if args.tracker == "tmot":
+            from ..tracking.tmot import JDETracker
+            trackers[obj] = JDETracker(
+                conf_thres=args.min_confidence,
+                track_max_second_lost=args.track_max_second_lost,
+                emb_max_dist=args.emb_max_dist,
+                frame_gap=args.frame_gap)
+        else:
+            metric = NearestNeighborDistanceMetric(
+                "cosine", args.max_cosine_distance, args.nn_budget)
+            trackers[obj] = Tracker(metric,
+                                    max_iou_distance=args.max_iou_distance)
         results[obj] = []
         tentative_buf[obj] = {}
 
@@ -126,7 +145,8 @@ def process_video(args, cfg, runner, video_path, classid2name,
     enq = VideoEnqueuer(vcap, args.short_edge_size, args.max_size,
                         frame_gap=args.frame_gap,
                         batch_size=args.im_batch_size,
-                        prefetch=args.prefetch, pad_last_batch=True)
+                        prefetch=args.prefetch, pad_last_batch=True,
+                        pixel_format=args.pixel_format)
 
     def batch_iter():
         for imgs, scale, frame_idxs in enq.get():
@@ -154,10 +174,20 @@ def process_video(args, cfg, runner, video_path, classid2name,
                         coco_to_actev=coco_to_actev)
                     dets = det_level_nms(dets, args.nms_max_overlap)
                     tracker = trackers[obj]
-                    tracker.predict()
-                    tracker.update(dets)
-                    _store_tracks(tracker, cur_frame, results[obj],
-                                  tentative_buf[obj])
+                    if args.tracker == "tmot":
+                        out = tracker.update(
+                            [(d.tlwh, d.confidence, d.feature)
+                             for d in dets])
+                        for t in out:
+                            b = t.cur_det_tlwh
+                            results[obj].append(
+                                [cur_frame, t.track_id,
+                                 b[0], b[1], b[2], b[3]])
+                    else:
+                        tracker.predict()
+                        tracker.update(dets)
+                        _store_tracks(tracker, cur_frame, results[obj],
+                                      tentative_buf[obj])
 
             if video_out_path is not None:
                 _write_frame_json(args, video_out_path, videoname, cur_frame,

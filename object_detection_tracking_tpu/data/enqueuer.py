@@ -37,13 +37,17 @@ class VideoEnqueuer:
     def __init__(self, vcap: VideoReader, short_edge_size: int,
                  max_size: int, frame_gap: int = 1, batch_size: int = 1,
                  prefetch: int = 10, start: bool = True,
-                 pad_last_batch: bool = False):
+                 pad_last_batch: bool = False, pixel_format: str = "bgr"):
         self.vcap = vcap
         self.short_edge_size = short_edge_size
         self.max_size = max_size
         self.frame_gap = frame_gap
         self.batch_size = batch_size
         self.pad_last_batch = pad_last_batch
+        # "i420" ships planar YUV420 ([3h/2, w] uint8) — half the
+        # host->device bytes; the detector converts to BGR on device with
+        # the exact cv2 BT.601-video coefficients (models preprocess).
+        self.pixel_format = pixel_format
         self.queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self.frames_read = 0
@@ -71,6 +75,17 @@ class VideoEnqueuer:
                     frame = cv2.resize(frame, (neww, newh),
                                        interpolation=cv2.INTER_LINEAR)
                 scale = (newh * 1.0 / h + neww * 1.0 / w) / 2.0
+                if self.pixel_format == "auto":
+                    # decided once per video — all frames share one size
+                    self.pixel_format = (
+                        "i420" if (newh % 2 == 0 and neww % 2 == 0)
+                        else "bgr")
+                if self.pixel_format == "i420":
+                    if newh % 2 or neww % 2:
+                        raise ValueError(
+                            "i420 pixel_format needs even frame dims, got "
+                            f"{newh}x{neww}; use pixel_format='bgr'")
+                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2YUV_I420)
                 batch_imgs.append(frame)
                 batch_idx.append(cur_frame)
                 self.frames_read += 1

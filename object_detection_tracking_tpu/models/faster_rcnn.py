@@ -135,10 +135,40 @@ class FasterRCNNFPN:
     # ------------------------------------------------------------------
     # forward pieces
 
+    @staticmethod
+    def i420_to_bgr(images: jnp.ndarray) -> jnp.ndarray:
+        """[B, 3h/2, w] planar YUV420 uint8 -> [B, h, w, 3] BGR float
+        (0-255). Matches cv2.COLOR_YUV2BGR_I420 to <=1 LSB: BT.601 video
+        range with nearest chroma upsampling (fitted empirically against
+        cv2 5.0)."""
+        b, h15, w = images.shape
+        h = h15 * 2 // 3
+        x = images.astype(jnp.float32)
+        y = x[:, :h, :]
+        u = x[:, h:h + h // 4, :].reshape(b, h // 2, w // 2)
+        v = x[:, h + h // 4:, :].reshape(b, h // 2, w // 2)
+
+        def up2(p):
+            return jnp.repeat(jnp.repeat(p, 2, axis=1), 2, axis=2)
+
+        u = up2(u) - 128.0
+        v = up2(v) - 128.0
+        yy = 1.164 * (y - 16.0)
+        bch = yy + 2.018 * u
+        g = yy - 0.391 * u - 0.813 * v
+        r = yy + 1.596 * v
+        bgr = jnp.stack([bch, g, r], axis=-1)
+        # emulate cv2's uint8 quantization so downstream normalization
+        # matches the reference BGR path bit-for-bit (within 1 LSB)
+        return jnp.round(jnp.clip(bgr, 0.0, 255.0))
+
     def preprocess(self, images: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
-        """[B, h, w, 3] BGR uint8/float -> padded normalized [B, hp, wp, 3]
-        in compute dtype (models.py:322-357 + backbone pad-to-multiple)."""
+        """[B, h, w, 3] BGR uint8/float (or [B, 3h/2, w] planar I420) ->
+        padded normalized [B, hp, wp, 3] in compute dtype
+        (models.py:322-357 + backbone pad-to-multiple)."""
         cfg = self.config
+        if images.ndim == 3:
+            images = self.i420_to_bgr(images)
         x = images.astype(jnp.float32) * (1.0 / 255.0)
         x = (x - _BGR_MEAN) / _BGR_STD
         h, w = x.shape[1:3]
@@ -166,6 +196,10 @@ class FasterRCNNFPN:
         """Per-image FPN proposal generation (models.py:402-438 +
         nn.py:1353-1400), static shapes. Returns (boxes [K,4], valid [K])."""
         cfg = self.config
+        # proposals are non-differentiable (sort/NMS); cut gradients here
+        # like the reference (tf.stop_gradient, models.py:437-438)
+        label_logits = [jax.lax.stop_gradient(x) for x in label_logits]
+        box_logits = [jax.lax.stop_gradient(x) for x in box_logits]
         topk_per_level = (cfg.rpn_train_post_nms_topk if cfg.is_train
                           else cfg.rpn_test_post_nms_topk)
         all_boxes, all_scores, all_valid = [], [], []
@@ -255,7 +289,9 @@ class FasterRCNNFPN:
         """Batched inference. images: [B, h, w, 3] BGR (uint8 or float,
         0-255), h/w static. Returns dict of [B, ...] outputs."""
         cfg = self.config
-        b, h, w = images.shape[0], images.shape[1], images.shape[2]
+        b, w = images.shape[0], images.shape[-1] if images.ndim == 3 \
+            else images.shape[2]
+        h = images.shape[1] * 2 // 3 if images.ndim == 3 else images.shape[1]
         hp, wp, fields, valids = self._static_geometry(h, w)
 
         p_images = self.preprocess(images, hp, wp)
@@ -348,3 +384,105 @@ class FasterRCNNFPN:
     def make_infer_fn(self):
         """jit-compiled batched forward: fn(params, images[B,h,w,3])."""
         return jax.jit(self.forward)
+
+    # ------------------------------------------------------------------
+    # training forward
+
+    def forward_train(self, params, images: jnp.ndarray,
+                      gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
+                      gt_valid: jnp.ndarray, rng) -> Dict[str, jnp.ndarray]:
+        """Training losses. images [B, h, w, 3]; gt_boxes [B, G, 4] padded;
+        gt_labels [B, G] int (1..C-1); gt_valid [B, G] bool.
+
+        Replaces the reference's host-side anchor labeling + in-graph
+        dynamic sampling (models.py:1468-1627, 3380-3486) with fully
+        on-device static-shape target assignment (train/targets.py).
+        """
+        from ..train import losses as loss_lib
+        from ..train import targets as target_lib
+
+        cfg = self.config
+        b, h, w = images.shape[0], images.shape[1], images.shape[2]
+        hp, wp, fields, valids = self._static_geometry(h, w)
+
+        p_images = self.preprocess(images, hp, wp)
+        p23456 = self.backbone(params, p_images)
+        label_logits, box_logits = self._rpn_all_levels(params, p23456)
+        p23456, label_logits, box_logits = jax.lax.optimization_barrier(
+            (p23456, label_logits, box_logits))
+
+        # ---- RPN losses over the flat all-level anchor set
+        flat_anchors = jnp.concatenate(
+            [jnp.asarray(f).reshape(-1, 4) for f in fields], axis=0)
+        flat_label_logits = jnp.concatenate(
+            [l.reshape(b, -1) for l in label_logits], axis=1)
+        flat_box_logits = jnp.concatenate(
+            [l.reshape(b, -1, 4) for l in box_logits], axis=1)
+
+        keys = jax.random.split(rng, b * 2)
+        rpn_keys, sample_keys = keys[:b], keys[b:]
+
+        def rpn_one(rng_i, gt_b, gt_v, ll, bl):
+            labels, tboxes = target_lib.anchor_targets(
+                rng_i, flat_anchors, gt_b, gt_v, (h, w),
+                cfg.rpn_batch_per_im, cfg.rpn_fg_ratio,
+                cfg.positive_anchor_thres, cfg.negative_anchor_thres)
+            safe_t = jnp.where((labels == 1)[:, None], tboxes, flat_anchors)
+            return loss_lib.rpn_losses(
+                labels, safe_t, flat_anchors, ll, bl, cfg.rpn_batch_per_im)
+
+        rpn_loss = jax.vmap(rpn_one)(
+            rpn_keys, gt_boxes, gt_valid, flat_label_logits,
+            flat_box_logits)
+
+        # ---- proposals (train topk) + target sampling
+        prop_boxes, prop_valid = jax.vmap(
+            lambda *lv: self._proposals_single(
+                lv[:cfg.num_levels], lv[cfg.num_levels:], fields, valids,
+                h, w))(*label_logits, *box_logits)
+        prop_boxes = jax.lax.stop_gradient(prop_boxes)
+
+        def sample_one(rng_i, boxes, valid, gt_b, gt_l, gt_v):
+            return target_lib.sample_fastrcnn_targets(
+                rng_i, boxes, valid, gt_b, gt_l, gt_v,
+                cfg.fastrcnn_batch_per_im, cfg.fastrcnn_fg_ratio,
+                cfg.fastrcnn_fg_thres)
+
+        samples = jax.vmap(sample_one)(
+            sample_keys, prop_boxes, prop_valid, gt_boxes, gt_labels,
+            gt_valid)
+
+        # guard padded rows so encode/decode stay finite under grad
+        unit = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+        roi_boxes = jnp.where(samples["valid"][..., None],
+                              samples["boxes"], unit)
+
+        s = roi_boxes.shape[1]
+        feat32 = [p.astype(jnp.float32) for p in p23456[:4]]
+        roi_feats = jax.vmap(
+            lambda f2, f3, f4, f5, bx: multilevel_roi_align(
+                [f2, f3, f4, f5], bx, cfg.anchor_strides[:4], 7)
+        )(feat32[0], feat32[1], feat32[2], feat32[3], roi_boxes)
+        roi_flat = roi_feats.reshape(b * s, 7, 7, cfg.fpn_num_channel)
+        roi_flat = roi_flat.astype(jnp.dtype(cfg.compute_dtype))
+
+        label_out, box_out = heads_lib.fastrcnn_2fc_head(
+            params["fastrcnn"], roi_flat, cfg.num_class,
+            cfg.use_frcnn_class_agnostic)
+        label_out = label_out.reshape(b, s, -1).astype(jnp.float32)
+        box_out = box_out.reshape(b, s, -1, 4).astype(jnp.float32)
+
+        from ..ops.boxes import encode_boxes
+        reg_w = jnp.asarray(cfg.fastrcnn_bbox_reg_weights, jnp.float32)
+        fg_gt_safe = jnp.where(samples["fg"][..., None],
+                               samples["fg_gt_boxes"], roi_boxes)
+        enc_fg = encode_boxes(fg_gt_safe, roi_boxes) * reg_w
+
+        frcnn_loss = jax.vmap(loss_lib.fastrcnn_losses)(
+            samples["labels"], label_out, enc_fg, box_out,
+            samples["valid"], samples["fg"])
+
+        losses = {k: v.mean() for k, v in
+                  {**rpn_loss, **frcnn_loss}.items()}
+        losses["total_loss"] = sum(losses.values())
+        return losses

@@ -108,7 +108,9 @@ def max_pool(x: jnp.ndarray, window: int, stride: int,
         raise NotImplementedError("use explicit padding")
     else:
         pad = tuple(tuple(p) for p in padding)
-    neg = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+    # NOTE: init must be -inf for JAX to specialize this to the
+    # differentiable reduce_window_max primitive
+    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
            else jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,

@@ -27,35 +27,79 @@ class DetectionRunner:
             ...
     """
 
-    def __init__(self, model, params, depth: int = 2,
-                 fetch_keys: Tuple[str, ...] = (
-                     "final_boxes", "final_labels", "final_probs",
-                     "final_valid", "pooled_box_feat")):
+    FETCH_KEYS = ("final_boxes", "final_labels", "final_probs",
+                  "final_valid", "pooled_box_feat")
+
+    def __init__(self, model, params, depth: int = 2):
         self.model = model
         self.params = params
-        self.fetch_keys = fetch_keys
         self.depth = max(1, depth)
         self._fn = jax.jit(self._fetch_forward)
 
     def _fetch_forward(self, params, images):
+        """Forward + pack every fetched output into ONE [B, R, 3+1+C] f32
+        tensor: the tunneled device->host link is latency-bound, so one
+        readback per batch instead of five."""
+        import jax.numpy as jnp
         out = self.model.forward(params, images)
-        return {k: out[k] for k in self.fetch_keys if k in out}
+        packed = jnp.concatenate([
+            out["final_boxes"],
+            out["final_labels"][..., None].astype(jnp.float32),
+            out["final_probs"][..., None],
+            out["final_valid"][..., None].astype(jnp.float32),
+            out["pooled_box_feat"],
+        ], axis=-1)
+        return packed
+
+    @staticmethod
+    def _unpack(packed: np.ndarray) -> Dict[str, np.ndarray]:
+        return {
+            "final_boxes": packed[..., 0:4],
+            "final_labels": packed[..., 4].astype(np.int32),
+            "final_probs": packed[..., 5],
+            "final_valid": packed[..., 6] > 0.5,
+            "pooled_box_feat": packed[..., 7:],
+        }
 
     def run(self, batches: Iterable[Tuple[np.ndarray, object]]
             ) -> Iterator[Tuple[Dict[str, np.ndarray], object]]:
         """batches yields (images [B, H, W, 3] uint8, meta). Yields
-        (host numpy outputs, meta) in order."""
-        inflight: deque = deque()
-        for images, meta in batches:
-            dev_images = jax.device_put(images)
-            out = self._fn(self.params, dev_images)
-            inflight.append((out, meta))
-            if len(inflight) >= self.depth:
-                yield self._to_host(*inflight.popleft())
-        while inflight:
-            yield self._to_host(*inflight.popleft())
+        (host numpy outputs, meta) in order.
 
-    @staticmethod
-    def _to_host(out, meta):
-        host = {k: np.asarray(v) for k, v in out.items()}
-        return host, meta
+        H2D transfers run on a dedicated thread (device_put can block on
+        some backends, e.g. the tunneled one) so upload of batch i+1
+        overlaps compute of batch i and tracking of batch i-1."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        inflight: deque = deque()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            puts: deque = deque()
+
+            def fill(it):
+                try:
+                    images, meta = next(it)
+                except StopIteration:
+                    return False
+                puts.append((pool.submit(jax.device_put, images), meta))
+                return True
+
+            it = iter(batches)
+            more = True
+            for _ in range(self.depth + 1):
+                more = fill(it)
+                if not more:
+                    break
+            while puts:
+                fut, meta = puts.popleft()
+                out = self._fn(self.params, fut.result())
+                inflight.append((out, meta))
+                if more:
+                    more = fill(it)
+                if len(inflight) >= self.depth:
+                    yield self._to_host(*inflight.popleft())
+            while inflight:
+                yield self._to_host(*inflight.popleft())
+
+    @classmethod
+    def _to_host(cls, out, meta):
+        return cls._unpack(np.asarray(out)), meta

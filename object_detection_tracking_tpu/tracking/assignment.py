@@ -83,10 +83,15 @@ def lapjv_extended(cost: np.ndarray, cost_limit: float
     n, m = cost.shape
     if n == 0 or m == 0:
         return np.full(n, -1, np.int64), np.full(m, -1, np.int64)
-    # pad to square with cost_limit/2 on the diagonal-extension trick:
-    # assignments through the padding represent "unmatched"
+    # inf entries (e.g. fuse_motion gating) would poison the solver's
+    # arithmetic; anything >= cost_limit is equally unmatchable
+    cost = np.where(np.isfinite(cost), cost, cost_limit * 2.0)
+    # square extension trick (lap.lapjv extend_cost semantics): padding
+    # rows/cols cost cost_limit/2 and the pad-pad quadrant is 0, so a real
+    # assignment (i, j) survives iff cost[i, j] < cost_limit
     size = n + m
     big = np.full((size, size), cost_limit / 2.0, np.float64)
+    big[n:, m:] = 0.0
     big[:n, :m] = cost
     rows, cols = linear_sum_assignment(big)
     x = np.full(n, -1, np.int64)

@@ -1,0 +1,83 @@
+"""Detection losses (masked static-shape versions of models.py:1328-1466).
+
+All reductions use validity masks instead of boolean_mask gathers; the
+normalizers match the reference exactly (sum/rpn_batch_per_im for RPN,
+mean-over-samples for the FRCNN label loss, sum/num_samples for its box
+loss; huber delta 1/9 with the reference's ``/delta`` rescale for RPN).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import encode_boxes
+
+
+def huber(diff: jnp.ndarray, delta: float) -> jnp.ndarray:
+    abs_d = jnp.abs(diff)
+    quad = 0.5 * diff * diff
+    lin = delta * (abs_d - 0.5 * delta)
+    return jnp.where(abs_d <= delta, quad, lin)
+
+
+def sigmoid_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(logits, 0) - logits * labels + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+    return logz - picked
+
+
+def rpn_losses(anchor_labels: jnp.ndarray, anchor_boxes: jnp.ndarray,
+               anchors: jnp.ndarray, label_logits: jnp.ndarray,
+               box_logits: jnp.ndarray,
+               rpn_batch_per_im: int = 256) -> Dict[str, jnp.ndarray]:
+    """One level. anchor_labels [N] {-1,0,1}; anchor_boxes [N, 4] target gt
+    boxes (fg rows); anchors [N, 4]; logits [N] / [N, 4]."""
+    valid = anchor_labels != -1
+    pos = anchor_labels == 1
+
+    lbl = sigmoid_ce(label_logits.astype(jnp.float32),
+                     (anchor_labels == 1).astype(jnp.float32))
+    label_loss = jnp.where(valid, lbl, 0.0).sum() / rpn_batch_per_im
+
+    enc_gt = encode_boxes(anchor_boxes, anchors)
+    delta = 1.0 / 9
+    bl = huber(box_logits.astype(jnp.float32) - enc_gt, delta)
+    box_loss = jnp.where(pos[:, None], bl, 0.0).sum() / delta / \
+        rpn_batch_per_im
+
+    nr_valid = valid.sum()
+    nr_pos = pos.sum()
+    return {
+        "rpn_label_loss": jnp.where(nr_valid == 0, 0.0, label_loss),
+        "rpn_box_loss": jnp.where(nr_pos == 0, 0.0, box_loss),
+    }
+
+
+def fastrcnn_losses(labels: jnp.ndarray, label_logits: jnp.ndarray,
+                    enc_fg_boxes: jnp.ndarray, box_logits: jnp.ndarray,
+                    valid: jnp.ndarray, fg: jnp.ndarray
+                    ) -> Dict[str, jnp.ndarray]:
+    """labels [S] (0 bg), label_logits [S, C], enc_fg_boxes [S, 4] encoded
+    regression targets for fg rows, box_logits [S, num_box_class, 4], masks
+    valid/fg [S]."""
+    ce = softmax_ce(label_logits.astype(jnp.float32), labels)
+    n_valid = jnp.maximum(valid.sum(), 1)
+    label_loss = jnp.where(valid, ce, 0.0).sum() / n_valid
+
+    if box_logits.shape[1] > 1:
+        cls_idx = jnp.maximum(labels - 1, 0)
+        fg_box_logits = jnp.take_along_axis(
+            box_logits, cls_idx[:, None, None], axis=1)[:, 0, :]
+    else:
+        fg_box_logits = box_logits[:, 0, :]
+    bl = huber(fg_box_logits.astype(jnp.float32) - enc_fg_boxes, 1.0)
+    box_loss = jnp.where(fg[:, None], bl, 0.0).sum() / n_valid
+    return {"frcnn_label_loss": label_loss, "frcnn_box_loss": box_loss}

@@ -1,0 +1,66 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from object_detection_tracking_tpu.config import DetectorConfig, TrainConfig
+from object_detection_tracking_tpu.models import get_model
+from object_detection_tracking_tpu.parallel import (
+    make_mesh, make_sharded_infer_fn, make_sharded_train_step,
+    param_shardings)
+from object_detection_tracking_tpu.train import Trainer
+from tests.test_train import make_batch
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        num_class=4, resnet_depth=18, short_edge_size=48, max_size=64,
+        rpn_train_pre_nms_topk=32, rpn_train_post_nms_topk=32,
+        rpn_test_post_nms_topk=32, rpn_batch_per_im=32,
+        fastrcnn_batch_per_im=16, result_per_im=5,
+        compute_dtype="float32")
+    base.update(kw)
+    return DetectorConfig(**base)
+
+
+def test_mesh_and_tp_sharding_rules():
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    model = get_model(tiny_cfg())
+    params = model.init_params(jax.random.PRNGKey(0))
+    sh = param_shardings(params, mesh)
+    fc6 = sh["fastrcnn"]["fc6"]["W"]
+    assert fc6.spec == jax.sharding.PartitionSpec(None, "model")
+    conv = sh["resnet"]["conv0"]["W"]
+    assert conv.spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_train_step_runs():
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = get_model(tiny_cfg(is_train=True))
+    params = model.init_params(jax.random.PRNGKey(0))
+    trainer = Trainer(model, TrainConfig(warmup_steps=5, total_steps=50),
+                      mesh=mesh)
+    state, step = make_sharded_train_step(trainer, params, mesh)
+    batch = make_batch(b=4)
+    with mesh:
+        state, losses = step(state, *batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["total_loss"]))
+    assert int(state["step"]) == 1
+
+
+def test_sharded_inference_matches_single_device():
+    mesh = make_mesh(n_data=8, n_model=1)
+    model = get_model(tiny_cfg())
+    params = model.init_params(jax.random.PRNGKey(3))
+    imgs = np.random.RandomState(0).randint(
+        0, 255, (8, 48, 64, 3)).astype(np.uint8)
+    sharded_params, fn = make_sharded_infer_fn(model, params, mesh)
+    with mesh:
+        out_sh = fn(sharded_params, imgs)
+    out_ref = model.forward(params, imgs[:1])
+    np.testing.assert_allclose(
+        np.asarray(out_sh["final_boxes"][0]),
+        np.asarray(out_ref["final_boxes"][0]), atol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(out_sh["final_labels"][0]),
+        np.asarray(out_ref["final_labels"][0]))
