@@ -105,6 +105,9 @@ class DetectorConfig:
 
     # --- TPU execution
     compute_dtype: str = "bfloat16"   # conv/matmul compute; params stay f32
+    # "pallas": window-DMA kernel, ~4x faster, exact for aspect <= ~2.8
+    # (ops/pallas/roi_align_pallas.py); "xla": exact reference gather
+    roi_align_impl: str = "pallas"
     mesh_axis_data: str = "data"
     mesh_axis_model: str = "model"
 

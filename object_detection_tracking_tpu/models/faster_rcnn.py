@@ -234,6 +234,22 @@ class FasterRCNNFPN:
         top_scores, top_idx = jax.lax.top_k(scores, k)
         return boxes[top_idx], valid[top_idx]
 
+    def _roi_align_batched(self, p23456, boxes, pool: int) -> jnp.ndarray:
+        """FPN ROIAlign over the batch: Pallas window kernel (fast; feature
+        dtype preserved, so the bf16 path skips f32 casts) or the exact XLA
+        gather per config.roi_align_impl. Returns [B, N, pool, pool, C] f32.
+        """
+        cfg = self.config
+        if cfg.roi_align_impl == "pallas":
+            from ..ops.pallas import multilevel_roi_align_pallas
+            return multilevel_roi_align_pallas(
+                list(p23456[:4]), boxes, cfg.anchor_strides[:4], pool)
+        feat32 = [p.astype(jnp.float32) for p in p23456[:4]]
+        return jax.vmap(
+            lambda f2, f3, f4, f5, bx: multilevel_roi_align(
+                [f2, f3, f4, f5], bx, cfg.anchor_strides[:4], pool)
+        )(feat32[0], feat32[1], feat32[2], feat32[3], boxes)
+
     def _predictions_single(self, decoded, probs, prop_valid):
         """Per-class NMS + global top-R (models.py:1258-1330), static.
 
@@ -312,11 +328,7 @@ class FasterRCNNFPN:
 
         # ROIAlign + head (flatten batch -> one big matmul batch)
         k = prop_boxes.shape[1]
-        feat32 = [p.astype(jnp.float32) for p in p23456[:4]]
-        roi_feats = jax.vmap(
-            lambda f2, f3, f4, f5, bx: multilevel_roi_align(
-                [f2, f3, f4, f5], bx, cfg.anchor_strides[:4], 7)
-        )(feat32[0], feat32[1], feat32[2], feat32[3], prop_boxes)
+        roi_feats = self._roi_align_batched(p23456, prop_boxes, 7)
         roi_flat = roi_feats.reshape(b * k, 7, 7, cfg.fpn_num_channel)
         roi_flat = roi_flat.astype(jnp.dtype(cfg.compute_dtype))
 
@@ -344,10 +356,7 @@ class FasterRCNNFPN:
         fb, fl, fp, fv, fci = jax.vmap(self._predictions_single)(
             decoded, probs, prop_valid)
 
-        box_feat = jax.vmap(
-            lambda f2, f3, f4, f5, bx: multilevel_roi_align(
-                [f2, f3, f4, f5], bx, cfg.anchor_strides[:4], 7)
-        )(feat32[0], feat32[1], feat32[2], feat32[3], fb)
+        box_feat = self._roi_align_batched(p23456, fb, 7)
 
         out = {
             "final_boxes": fb,
@@ -364,10 +373,7 @@ class FasterRCNNFPN:
 
         if cfg.add_mask and "maskrcnn" in params:
             r = cfg.result_per_im
-            mask_roi = jax.vmap(
-                lambda f2, f3, f4, f5, bx: multilevel_roi_align(
-                    [f2, f3, f4, f5], bx, cfg.anchor_strides[:4], 14)
-            )(feat32[0], feat32[1], feat32[2], feat32[3], fb)
+            mask_roi = self._roi_align_batched(p23456, fb, 14)
             mask_roi = mask_roi.reshape(b * r, 14, 14, cfg.fpn_num_channel)
             mask_logits = heads_lib.maskrcnn_up4conv_head(
                 params["maskrcnn"],
@@ -458,11 +464,7 @@ class FasterRCNNFPN:
                               samples["boxes"], unit)
 
         s = roi_boxes.shape[1]
-        feat32 = [p.astype(jnp.float32) for p in p23456[:4]]
-        roi_feats = jax.vmap(
-            lambda f2, f3, f4, f5, bx: multilevel_roi_align(
-                [f2, f3, f4, f5], bx, cfg.anchor_strides[:4], 7)
-        )(feat32[0], feat32[1], feat32[2], feat32[3], roi_boxes)
+        roi_feats = self._roi_align_batched(p23456, roi_boxes, 7)
         roi_flat = roi_feats.reshape(b * s, 7, 7, cfg.fpn_num_channel)
         roi_flat = roi_flat.astype(jnp.dtype(cfg.compute_dtype))
 
