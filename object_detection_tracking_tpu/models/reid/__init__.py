@@ -1,0 +1,12 @@
+"""ReID feature extractors: OSNet (persons) + ResNet-50/101 (vehicles).
+
+JAX reimplementations of the torchreid models the reference vendors
+(torchreid/models/osnet.py, resnet.py), parameterized by FLAT dicts keyed
+with the original torch state_dict names — weight conversion from .pth is a
+pure transpose pass (utils in extractor.py), and parity can be checked
+layer-by-layer against torch (cpu) in tests.
+"""
+
+from .extractor import FeatureExtractor  # noqa: F401
+from .osnet import osnet_forward  # noqa: F401
+from .resnet_reid import resnet_reid_forward  # noqa: F401

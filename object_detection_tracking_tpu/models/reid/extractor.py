@@ -1,0 +1,120 @@
+"""ReID FeatureExtractor: crop list -> embedding matrix on TPU.
+
+Reference parity (torchreid/feature_extractor.py:121-252): resize crops to
+(256, 128), RGB, ImageNet normalization, batched no-grad forward. Here the
+forward is a jit-compiled JAX function with a fixed max batch (padded +
+masked) so it compiles once; torch .pth checkpoints are converted on load
+(OIHW->HWIO transposes; torch stays a host-side loader only).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+import jax
+import jax.numpy as jnp
+
+from .osnet import osnet_forward
+from .resnet_reid import resnet_reid_forward
+
+_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+FORWARDS = {
+    "osnet_x1_0": osnet_forward,
+    "resnet50": lambda p, x: resnet_reid_forward(p, x, "resnet50"),
+    "resnet101": lambda p, x: resnet_reid_forward(p, x, "resnet101"),
+}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint and convert to a flat jax-ready dict:
+    conv kernels OIHW->HWIO (depthwise [C,1,k,k]->[k,k,1,C]), linear
+    weights transposed to [in, out]."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    out = {}
+    for name, t in sd.items():
+        name = name.replace("module.", "")
+        if name.startswith("classifier."):
+            continue  # identity head is training-only
+        arr = t.detach().cpu().numpy()
+        if arr.ndim == 4:
+            arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
+        elif arr.ndim == 2:
+            arr = arr.T
+        out[name] = arr
+    return out
+
+
+class FeatureExtractor:
+    """extractor = FeatureExtractor("osnet_x1_0", "osnet.pth")
+    feats = extractor(list_of_bgr_crops)  # [N, D] numpy"""
+
+    def __init__(self, model_name: str, model_path: Optional[str] = None,
+                 image_size=(256, 128), max_batch: int = 64,
+                 compute_dtype: str = "bfloat16"):
+        if model_name not in FORWARDS:
+            raise ValueError(
+                f"unknown reid model {model_name!r}; have {list(FORWARDS)}")
+        self.model_name = model_name
+        self.image_size = tuple(image_size)  # (h, w)
+        self.max_batch = max_batch
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        if model_path:
+            params = load_torch_state_dict(model_path)
+        else:
+            params = self._random_params()
+        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        fwd = FORWARDS[model_name]
+
+        def batched(params, images):
+            x = images.astype(self.compute_dtype)
+            return fwd(params, x).astype(jnp.float32)
+
+        self._fn = jax.jit(batched)
+
+    def _random_params(self) -> Dict[str, np.ndarray]:
+        """Random weights with the right shapes (no-checkpoint smoke mode):
+        built by tracing shape requirements through torch-free init is
+        impractical; instead run the torch model? Not available — so we
+        raise unless a checkpoint is given for resnet; osnet shapes are
+        produced lazily on first failure."""
+        raise ValueError(
+            "FeatureExtractor requires model_path (.pth checkpoint); "
+            "random-weight mode is not supported for reid models")
+
+    def _preprocess(self, imgs_bgr: Sequence[np.ndarray]) -> np.ndarray:
+        h, w = self.image_size
+        out = np.empty((len(imgs_bgr), h, w, 3), np.float32)
+        for i, im in enumerate(imgs_bgr):
+            if im.shape[:2] != (h, w):
+                im = cv2.resize(im, (w, h), interpolation=cv2.INTER_LINEAR)
+            rgb = im[:, :, ::-1].astype(np.float32) / 255.0
+            out[i] = (rgb - _MEAN) / _STD
+        return out
+
+    def __call__(self, imgs_bgr: Sequence[np.ndarray]) -> np.ndarray:
+        if len(imgs_bgr) == 0:
+            return np.zeros((0, 1), np.float32)
+        x = self._preprocess(imgs_bgr)
+        feats = []
+        bs = self.max_batch
+        for s in range(0, len(x), bs):
+            chunk = x[s:s + bs]
+            if len(chunk) < bs:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bs - len(chunk),) + chunk.shape[1:],
+                                     np.float32)])
+            f = np.asarray(self._fn(self.params, chunk))
+            feats.append(f[:min(bs, len(x) - s)])
+        return np.concatenate(feats, axis=0)
