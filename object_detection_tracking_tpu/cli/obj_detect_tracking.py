@@ -49,6 +49,8 @@ def get_args(argv=None):
     parser.add_argument("--num_class", type=int, default=16)
     parser.add_argument("--is_coco_model", action="store_true")
     parser.add_argument("--use_partial_classes", action="store_true")
+    parser.add_argument("--is_efficientdet", action="store_true")
+    parser.add_argument("--efficientdet_modelname", default="efficientdet-d0")
     parser.add_argument("--resnet50", action="store_true")
     parser.add_argument("--resnet152", action="store_true")
     parser.add_argument("--max_size", type=int, default=1920)
@@ -97,11 +99,22 @@ def build_config(args) -> DetectorConfig:
         result_score_thres=args.threshold_conf,
         compute_dtype=args.compute_dtype,
         resnet_depth=50 if args.resnet50 else (
-            152 if args.resnet152 else 101),
+            152 if getattr(args, "resnet152", False) else 101),
     )
+    if getattr(args, "is_efficientdet", False):
+        from ..models.efficientdet import EFFICIENTDET_CONFIGS
+        size = EFFICIENTDET_CONFIGS[args.efficientdet_modelname][1]
+        # fit-into-square resize: short_edge = max_size = image_size makes
+        # get_new_hw produce scale = image_size / max(h, w)
+        overrides.update(short_edge_size=size, max_size=size,
+                         efficientdet_name=args.efficientdet_modelname)
+        overrides.pop("num_class", None)  # COCO models are always 81
+        return DetectorConfig.coco(**overrides)
     if args.use_partial_classes:
+        overrides.pop("num_class", None)
         return DetectorConfig.coco_partial(**overrides)
     if args.is_coco_model:
+        overrides.pop("num_class", None)
         return DetectorConfig.coco(**overrides)
     return DetectorConfig.from_version(args.version, **overrides)
 
@@ -142,7 +155,8 @@ def process_video(args, cfg, runner, video_path, classid2name,
         video_out_path = os.path.join(args.out_dir, videoname)
         os.makedirs(video_out_path, exist_ok=True)
 
-    enq = VideoEnqueuer(vcap, args.short_edge_size, args.max_size,
+    # cfg carries the derived sizes (e.g. EfficientDet fit-to-square)
+    enq = VideoEnqueuer(vcap, cfg.short_edge_size, cfg.max_size,
                         frame_gap=args.frame_gap,
                         batch_size=args.im_batch_size,
                         prefetch=args.prefetch, pad_last_batch=True,
@@ -257,7 +271,8 @@ def main(argv=None):
     from ..runtime.aot import enable_persistent_cache
     enable_persistent_cache()
     cfg = build_config(args)
-    model = get_model(cfg)
+    model = get_model(
+        cfg, "efficientdet" if args.is_efficientdet else "faster_rcnn")
     import jax
     if args.model_path:
         params = load_weights(args.model_path, model)

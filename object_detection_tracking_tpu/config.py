@@ -108,6 +108,8 @@ class DetectorConfig:
     # "pallas": window-DMA kernel, ~4x faster, exact for aspect <= ~2.8
     # (ops/pallas/roi_align_pallas.py); "xla": exact reference gather
     roi_align_impl: str = "pallas"
+    # EfficientDet variant when model="efficientdet"
+    efficientdet_name: str = "efficientdet-d0"
     mesh_axis_data: str = "data"
     mesh_axis_model: str = "model"
 

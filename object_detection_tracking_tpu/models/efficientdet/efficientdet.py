@@ -1,0 +1,308 @@
+"""EfficientDet assembly: backbone -> BiFPN -> heads -> postprocess.
+
+Reference: efficientdet_arch.py (BiFPN fast-attention fusion, separable
+class/box nets shared across levels with per-level BN) and
+efficientdet_wrapper.py (global top-k across levels, NMS, level-indexed
+ROIAlign for tracking features).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.boxes import clip_boxes
+from ...ops.nms import nms
+from ...ops.norm import init_bn, frozen_bn
+from ..layers import conv2d, init_conv, max_pool, upsample2x_nearest
+from .anchors import decode_effdet_boxes, effdet_anchors
+from .efficientnet import (efficientnet_c345, init_efficientnet, swish)
+
+# name, backbone, image_size, fpn_filters, fpn_repeats, head_repeats
+EFFICIENTDET_CONFIGS = {
+    "efficientdet-d0": ("efficientnet-b0", 512, 64, 3, 3),
+    "efficientdet-d1": ("efficientnet-b1", 640, 88, 4, 3),
+    "efficientdet-d2": ("efficientnet-b2", 768, 112, 5, 3),
+    "efficientdet-d3": ("efficientnet-b3", 896, 160, 6, 4),
+    "efficientdet-d4": ("efficientnet-b4", 1024, 224, 7, 4),
+    # tiny variant for CPU unit tests only (not a reference model)
+    "efficientdet-test": ("efficientnet-b0", 128, 32, 2, 2),
+}
+
+# BiFPN graph (bifpn_dynamic_config for levels 3..7): inputs are node ids;
+# ids 0..4 = P3..P7 backbone-side, then one new id per fnode.
+BIFPN_NODES = [
+    (6, (3, 4)),
+    (5, (2, 5)),
+    (4, (1, 6)),
+    (3, (0, 7)),
+    (4, (1, 7, 8)),
+    (5, (2, 6, 9)),
+    (6, (3, 5, 10)),
+    (7, (4, 11)),
+]
+MIN_LEVEL, MAX_LEVEL = 3, 7
+NUM_ANCHORS = 9
+
+
+def _init_sep_conv(rng, cin, cout, kernel=3, bias=True):
+    r1, r2 = jax.random.split(rng)
+    p = {
+        "dw": init_conv(r1, kernel, cin, cin, use_bias=False, groups=cin,
+                        w_init="xavier1"),
+        "pw": init_conv(r2, 1, cin, cout, use_bias=bias, w_init="xavier1"),
+    }
+    return p
+
+
+def _sep_conv(p, x, kernel=3):
+    pad = kernel // 2
+    x = conv2d(p["dw"], x, padding=((pad, pad), (pad, pad)),
+               groups=x.shape[-1])
+    return conv2d(p["pw"], x)
+
+
+class EfficientDet:
+    """Same interface as FasterRCNNFPN: init_params / forward /
+    make_infer_fn. Output classes follow the model's class map (COCO 90-id
+    mapping handled by the caller via class_ids.coco_id_mapping)."""
+
+    def __init__(self, config, model_name: str = None):
+        self.config = config
+        name = model_name or getattr(config, "efficientdet_name",
+                                     "efficientdet-d0")
+        (self.backbone_name, self.image_size, self.fpn_filters,
+         self.fpn_repeats, self.head_repeats) = EFFICIENTDET_CONFIGS[name]
+        self.name = name
+        self.num_classes = config.num_class - 1  # sigmoid heads, no BG row
+
+    # ------------------------------------------------------------------
+
+    def init_params(self, rng) -> Dict:
+        r_bb, r_resample, r_fpn, r_cls, r_box = jax.random.split(rng, 5)
+        c = self.fpn_filters
+        params: Dict = {"backbone": init_efficientnet(r_bb,
+                                                      self.backbone_name)}
+        # channel-matching 1x1s for backbone feats + extra P6/P7 resamples
+        from .efficientnet import scaled_block_args, SCALING, round_filters
+        args = scaled_block_args(self.backbone_name)
+        c3, c4, c5 = args[2][4], args[4][4], args[6][4]
+        rs = jax.random.split(r_resample, 6)
+        params["resample"] = {}
+        for i, cin in enumerate((c3, c4, c5)):
+            p = init_conv(rs[i], 1, cin, c, use_bias=True, w_init="xavier1")
+            p["bn"] = init_bn(c)
+            params["resample"][f"p{i + 3}"] = p
+        p6 = init_conv(rs[3], 1, c5, c, use_bias=True, w_init="xavier1")
+        p6["bn"] = init_bn(c)
+        params["resample"]["p6"] = p6
+
+        # BiFPN cells
+        cells = {}
+        for rep in range(self.fpn_repeats):
+            rc = jax.random.split(jax.random.fold_in(r_fpn, rep),
+                                  len(BIFPN_NODES))
+            cell = {}
+            for ni, (lvl, inputs) in enumerate(BIFPN_NODES):
+                node = _init_sep_conv(rc[ni], c, c, bias=True)
+                node["bn"] = init_bn(c)
+                node["wsm"] = jnp.ones((len(inputs),), jnp.float32)
+                cell[f"fnode{ni}"] = node
+            cells[f"cell_{rep}"] = cell
+        params["fpn_cells"] = cells
+
+        # class / box nets: convs shared across levels, BN per level
+        def head(rng_h, out_ch, bias_init):
+            layers = {}
+            hr = jax.random.split(rng_h, self.head_repeats + 1)
+            for i in range(self.head_repeats):
+                layers[f"conv{i}"] = _init_sep_conv(hr[i], c, c)
+                for lvl in range(MIN_LEVEL, MAX_LEVEL + 1):
+                    layers[f"bn{i}_l{lvl}"] = init_bn(c)
+            pred = _init_sep_conv(hr[-1], c, out_ch)
+            pred["pw"]["b"] = jnp.full((out_ch,), bias_init, jnp.float32)
+            layers["predict"] = pred
+            return layers
+
+        params["class_net"] = head(
+            r_cls, self.num_classes * NUM_ANCHORS,
+            -math.log((1 - 0.01) / 0.01))
+        params["box_net"] = head(r_box, 4 * NUM_ANCHORS, 0.0)
+        return params
+
+    # ------------------------------------------------------------------
+
+    def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+        """[B, h, w, 3] BGR (or [B, 3h/2, w] I420) -> padded normalized RGB
+        [B, S, S, 3] (dataloader.py normalize_image + pad-to-square)."""
+        from ..faster_rcnn import FasterRCNNFPN
+        if images.ndim == 3:
+            images = FasterRCNNFPN.i420_to_bgr(images)
+        x = images.astype(jnp.float32)[..., ::-1] / 255.0  # BGR -> RGB
+        mean = jnp.asarray([0.485, 0.456, 0.406])
+        std = jnp.asarray([0.229, 0.224, 0.225])
+        x = (x - mean) / std
+        s = self.image_size
+        b, h, w = x.shape[:3]
+        x = jnp.pad(x, ((0, 0), (0, s - h), (0, s - w), (0, 0)))
+        return x.astype(jnp.dtype(self.config.compute_dtype))
+
+    def _bifpn_cell(self, cell, feats: List[jnp.ndarray]):
+        """feats: P3..P7 (ids 0..4); returns new P3..P7."""
+        nodes = list(feats)
+        sizes = [f.shape[1] for f in feats]
+        for ni, (lvl, inputs) in enumerate(BIFPN_NODES):
+            p = cell[f"fnode{ni}"]
+            target = sizes[lvl - MIN_LEVEL]
+            resampled = []
+            for off in inputs:
+                n = nodes[off]
+                if n.shape[1] > target:       # downsample by 2
+                    n = max_pool(n, 3, 2, padding=((1, 0), (1, 0)))
+                elif n.shape[1] < target:     # upsample by 2
+                    n = upsample2x_nearest(n)
+                resampled.append(n)
+            w = jax.nn.relu(p["wsm"])
+            w = w / (w.sum() + 1e-4)
+            fused = sum(r * w[i].astype(r.dtype)
+                        for i, r in enumerate(resampled))
+            fused = swish(fused)
+            out = _sep_conv(p, fused)
+            out = frozen_bn(p["bn"], out)
+            nodes.append(out)
+        # output node ids: P3''=8, P4''=9, P5''=10, P6''=11, P7''=12
+        return [nodes[8], nodes[9], nodes[10], nodes[11], nodes[12]]
+
+    def _heads(self, params, feats):
+        cls_outs, box_outs = [], []
+        for li, f in enumerate(feats):
+            lvl = MIN_LEVEL + li
+            x = f
+            hp = params["class_net"]
+            for i in range(self.head_repeats):
+                orig = x
+                x = _sep_conv(hp[f"conv{i}"], x)
+                x = swish(frozen_bn(hp[f"bn{i}_l{lvl}"], x))
+                if i > 0:
+                    x = x + orig
+            cls_outs.append(_sep_conv(hp["predict"], x))
+            x = f
+            hp = params["box_net"]
+            for i in range(self.head_repeats):
+                orig = x
+                x = _sep_conv(hp[f"conv{i}"], x)
+                x = swish(frozen_bn(hp[f"bn{i}_l{lvl}"], x))
+                if i > 0:
+                    x = x + orig
+            box_outs.append(_sep_conv(hp["predict"], x))
+        return cls_outs, box_outs
+
+    def _postprocess_single(self, cls_flat, box_flat, anchors_flat, hw):
+        """One image: sigmoid scores, global top-k pre-select, decode,
+        per-class NMS to result_per_im (efficientdet_wrapper.py:367-487)."""
+        cfg = self.config
+        r = cfg.result_per_im
+        scores_all = jax.nn.sigmoid(cls_flat)          # [N, C]
+        best = scores_all.max(axis=1)
+        k = min(2000, best.shape[0])
+        _, top_i = jax.lax.top_k(best, k)
+        scores = scores_all[top_i]                     # [k, C]
+        boxes = decode_effdet_boxes(box_flat[top_i], anchors_flat[top_i])
+        boxes = clip_boxes(boxes, hw)
+
+        # per-class top-kc preselect keeps the NMS matrices tiny
+        # (the greedy result is unchanged unless a class would keep >kc/2
+        # boxes — far beyond any real frame)
+        kc = min(2 * r, k)
+        cls_scores, cls_idx = jax.lax.top_k(scores.T, kc)     # [C, kc]
+        cls_boxes = boxes[cls_idx]                             # [C, kc, 4]
+        valid = cls_scores > cfg.result_score_thres
+
+        def one_class(b, s, v):
+            idx, val = nms(b, s, r, cfg.fastrcnn_nms_iou_thres, valid=v)
+            idx_c = jnp.maximum(idx, 0)
+            return (jnp.where(val[:, None], b[idx_c], 0.0),
+                    jnp.where(val, s[idx_c], -1e30), val)
+
+        cb, cp, cv = jax.vmap(one_class)(cls_boxes, cls_scores, valid)
+
+        flat_p = cp.reshape(-1)
+        flat_v = cv.reshape(-1)
+        flat_b = cb.reshape(-1, 4)
+        top_p, top_idx = jax.lax.top_k(jnp.where(flat_v, flat_p, -1e30), r)
+        final_valid = flat_v[top_idx]
+        final_boxes = jnp.where(final_valid[:, None], flat_b[top_idx], 0.0)
+        final_labels = jnp.where(final_valid,
+                                 (top_idx // r).astype(jnp.int32) + 1, 0)
+        final_probs = jnp.where(final_valid, top_p, 0.0)
+        return final_boxes, final_labels, final_probs, final_valid
+
+    # ------------------------------------------------------------------
+
+    def forward(self, params, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        b = images.shape[0]
+        h = images.shape[1] * 2 // 3 if images.ndim == 3 else images.shape[1]
+        w = images.shape[-1] if images.ndim == 3 else images.shape[2]
+
+        x = self.preprocess(images)
+        c3, c4, c5 = efficientnet_c345(params["backbone"], x,
+                                       self.backbone_name)
+        rp = params["resample"]
+        p3 = frozen_bn(rp["p3"]["bn"], conv2d(rp["p3"], c3))
+        p4 = frozen_bn(rp["p4"]["bn"], conv2d(rp["p4"], c4))
+        p5 = frozen_bn(rp["p5"]["bn"], conv2d(rp["p5"], c5))
+        p6 = frozen_bn(rp["p6"]["bn"], conv2d(rp["p6"], c5))
+        p6 = max_pool(p6, 3, 2, padding=((1, 0), (1, 0)))
+        p7 = max_pool(p6, 3, 2, padding=((1, 0), (1, 0)))
+        feats = [p3, p4, p5, p6, p7]
+        for rep in range(self.fpn_repeats):
+            feats = self._bifpn_cell(params["fpn_cells"][f"cell_{rep}"],
+                                     feats)
+        cls_outs, box_outs = self._heads(params, feats)
+        feats, cls_outs, box_outs = jax.lax.optimization_barrier(
+            (feats, cls_outs, box_outs))
+
+        anchors = effdet_anchors((self.image_size, self.image_size))
+        anchors_flat = jnp.concatenate(
+            [jnp.asarray(a).reshape(-1, 4) for a in anchors], axis=0)
+        cls_flat = jnp.concatenate(
+            [c.reshape(b, -1, self.num_classes).astype(jnp.float32)
+             for c in cls_outs], axis=1)
+        box_flat = jnp.concatenate(
+            [bo.reshape(b, -1, 4).astype(jnp.float32) for bo in box_outs],
+            axis=1)
+
+        fb, fl, fp, fv = jax.vmap(
+            lambda cf, bf: self._postprocess_single(
+                cf, bf, anchors_flat, (h, w)))(cls_flat, box_flat)
+
+        # level-indexed ROIAlign tracking features over the BiFPN pyramid
+        # (efficientdet_wrapper.py:265-301); strides 8..32 for P3..P5
+        from ...ops.pallas import multilevel_roi_align_pallas
+        from ...ops.roi_align import multilevel_roi_align
+        if cfg.roi_align_impl == "pallas":
+            box_feat = multilevel_roi_align_pallas(
+                [feats[0], feats[1], feats[2], feats[3]], fb,
+                (8, 16, 32, 64), 7)
+        else:
+            f32 = [f.astype(jnp.float32) for f in feats[:4]]
+            box_feat = jax.vmap(
+                lambda f3, f4, f5, f6, bx: multilevel_roi_align(
+                    [f3, f4, f5, f6], bx, (8, 16, 32, 64), 7)
+            )(f32[0], f32[1], f32[2], f32[3], fb)
+
+        return {
+            "final_boxes": fb,
+            "final_labels": fl,
+            "final_probs": fp,
+            "final_valid": fv,
+            "pooled_box_feat": box_feat.mean(axis=(2, 3)),
+        }
+
+    def make_infer_fn(self):
+        return jax.jit(self.forward)

@@ -258,25 +258,29 @@ class FasterRCNNFPN:
         class_idx [R] — index into the C-1 box classes for mask gather)."""
         cfg = self.config
         r = cfg.result_per_im
-        cm1 = decoded.shape[1]
+        k = decoded.shape[0]
         boxes_t = jnp.swapaxes(decoded, 0, 1)        # [C-1, K, 4]
         probs_t = jnp.swapaxes(probs[:, 1:], 0, 1)   # [C-1, K]
         vmask = jnp.broadcast_to(prop_valid[None, :], probs_t.shape)
         vmask = vmask & (probs_t > cfg.result_score_thres)
 
-        def one_class(args):
-            b, s, v = args
+        # per-class top-kc preselect: identical greedy result unless a class
+        # keeps > kc/2 boxes; keeps the NMS IOU matrices [C, kc, kc] small
+        kc = min(2 * r, k)
+        masked = jnp.where(vmask, probs_t, -1e30)
+        sel_probs, sel_idx = jax.lax.top_k(masked, kc)         # [C-1, kc]
+        sel_boxes = jnp.take_along_axis(
+            boxes_t, sel_idx[:, :, None], axis=1)              # [C-1, kc, 4]
+        sel_valid = jnp.take_along_axis(vmask, sel_idx, axis=1)
+
+        def one_class(b, s, v):
             idx, val = nms(b, s, r, cfg.fastrcnn_nms_iou_thres, valid=v)
             idx_c = jnp.maximum(idx, 0)
             return (jnp.where(val[:, None], b[idx_c], 0.0),
                     jnp.where(val, s[idx_c], -1e30), val)
 
-        if cm1 <= 32:
-            cls_boxes, cls_probs, cls_valid = jax.vmap(
-                lambda b, s, v: one_class((b, s, v)))(boxes_t, probs_t, vmask)
-        else:
-            cls_boxes, cls_probs, cls_valid = jax.lax.map(
-                one_class, (boxes_t, probs_t, vmask))
+        cls_boxes, cls_probs, cls_valid = jax.vmap(one_class)(
+            sel_boxes, sel_probs, sel_valid)
 
         flat_probs = cls_probs.reshape(-1)
         flat_valid = cls_valid.reshape(-1)

@@ -211,6 +211,12 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     n = boxes.shape[1]
     L = len(features)
     c = features[0].shape[-1]
+    # Mosaic layouts need a full 128-lane channel dim; pad narrow pyramids
+    # (e.g. EfficientDet-d0's 64) and slice the output back
+    c_pad = max(((c + 127) // 128) * 128, 128)
+    if c_pad != c:
+        features = [jnp.pad(f, ((0, 0), (0, 0), (0, 0), (0, c_pad - c)))
+                    for f in features]
     hmax = max(max(f.shape[1] for f in features), WIN_Y)
     wmax = max(max(f.shape[2] for f in features), WIN_X)
     padded = [
@@ -218,7 +224,7 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
                     (0, 0))) for f in features
     ]
     # [B, L, Hmax, Wmax, C] -> [B*L, Hmax, Wmax, C]
-    packed = jnp.stack(padded, axis=1).reshape(b * L, hmax, wmax, c)
+    packed = jnp.stack(padded, axis=1).reshape(b * L, hmax, wmax, c_pad)
 
     flat_boxes = boxes.reshape(b * n, 4)
     lvl = fpn_map_rois_to_levels(flat_boxes)
@@ -246,4 +252,5 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     meta_f = jnp.stack([y0, x0, sh, sw, h_ext, w_ext], axis=0)
 
     out = _roi_align_packed(packed, meta_i, meta_f, output_size)
-    return out.reshape(b, n, output_size, output_size, c)
+    out = out.reshape(b, n, output_size, output_size, c_pad)
+    return out[..., :c]

@@ -1,0 +1,78 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from object_detection_tracking_tpu.config import DetectorConfig
+from object_detection_tracking_tpu.models.efficientdet import (
+    EfficientDet, decode_effdet_boxes, effdet_anchors)
+from object_detection_tracking_tpu.models.efficientdet.efficientnet import (
+    round_filters, round_repeats, scaled_block_args)
+
+
+def test_compound_scaling_matches_reference():
+    # efficientnet_builder.py round_filters/round_repeats golden values
+    assert round_filters(32, 1.0) == 32
+    assert round_filters(32, 1.1) == 32   # b2 stem: 35.2 -> 32
+    assert round_filters(320, 1.1) == 352
+    assert round_repeats(2, 1.2) == 3
+    args_b2 = scaled_block_args("efficientnet-b2")
+    assert args_b2[1][5] == 3  # b2: 2 repeats * 1.2 -> 3
+
+
+def test_anchor_field_golden():
+    anchors = effdet_anchors((128, 128), min_level=3, max_level=7)
+    assert len(anchors) == 5
+    assert anchors[0].shape == (16, 16, 9, 4)
+    # level 3, octave 0, aspect (1,1): size 4*8=32 centered at stride/2=4
+    a0 = anchors[0][0, 0, 0]
+    np.testing.assert_allclose(a0, [4 - 16, 4 - 16, 4 + 16, 4 + 16])
+    # aspect (1.4, 0.7): half-extents 32*1.4/2, 32*0.7/2
+    a1 = anchors[0][0, 0, 1]
+    np.testing.assert_allclose(a1, [4 - 22.4, 4 - 11.2, 4 + 22.4, 4 + 11.2],
+                               rtol=1e-6)
+
+
+def test_decode_identity_and_shift():
+    anchors = jnp.asarray([[10.0, 20.0, 50.0, 60.0]])
+    dec = decode_effdet_boxes(jnp.zeros((1, 4)), anchors)
+    np.testing.assert_allclose(np.asarray(dec), [[10, 20, 50, 60]], atol=1e-5)
+    # ty shifts by anchor height: y += 40
+    dec = decode_effdet_boxes(jnp.asarray([[1.0, 0, 0, 0]]), anchors)
+    np.testing.assert_allclose(np.asarray(dec), [[10, 60, 50, 100]],
+                               atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny_effdet():
+    cfg = DetectorConfig.coco(result_per_im=10, compute_dtype="float32",
+                              efficientdet_name="efficientdet-test",
+                              roi_align_impl="xla")
+    m = EfficientDet(cfg, "efficientdet-test")
+    params = m.init_params(jax.random.PRNGKey(0))
+    return cfg, m, params
+
+
+def test_effdet_forward_shapes(tiny_effdet):
+    cfg, m, params = tiny_effdet
+    imgs = np.random.RandomState(0).randint(
+        0, 255, (1, 96, 128, 3)).astype(np.uint8)
+    out = m.forward(params, imgs)
+    assert out["final_boxes"].shape == (1, 10, 4)
+    assert out["pooled_box_feat"].shape == (1, 10, 32)
+    fb = np.asarray(out["final_boxes"])
+    # boxes clipped to the true (pre-pad) image extent
+    assert fb[..., 0::2].max() <= 128 and fb[..., 1::2].max() <= 96
+    fl = np.asarray(out["final_labels"])
+    fv = np.asarray(out["final_valid"])
+    assert ((fl[fv] >= 1) & (fl[fv] <= 80)).all()
+
+
+def test_d0_param_count():
+    """Published EfficientDet-d0 has 3.9M params — a strong whole-
+    architecture checksum."""
+    cfg = DetectorConfig.coco(result_per_im=10)
+    m = EfficientDet(cfg, "efficientdet-d0")
+    params = m.init_params(jax.random.PRNGKey(0))
+    n = sum(x.size for x in jax.tree.leaves(params))
+    assert abs(n / 1e6 - 3.9) < 0.15, n
