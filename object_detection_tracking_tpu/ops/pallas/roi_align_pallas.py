@@ -195,6 +195,8 @@ def _roi_align_packed(packed: jnp.ndarray, meta_i: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024),
+        # CPU (tests / dev boxes) can only interpret Mosaic kernels
+        interpret=jax.default_backend() == "cpu",
     )(meta_i, meta_f, packed)
     return out[:n, :, :pool, :]
 
