@@ -1,0 +1,267 @@
+"""Train / test / forward / pack driver (reference main.py).
+
+  train:   DP training over the device mesh with warmup+cosine momentum,
+           periodic eval + best-checkpoint keeping (orbax).
+  test:    AP/AR evaluation of a checkpoint on a validation lst.
+  forward: batch image inference to per-image json (use
+           cli.obj_detect_imgs for the full-featured version).
+  pack:    AOT-compile the inference forward for a fixed shape and save
+           params + config json (the XLA-era equivalent of freezing a .pb,
+           models.py:134 + tensorrt_optimize.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from collections import deque
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("mode", choices=["train", "test", "forward", "pack"])
+    p.add_argument("--trainlst")
+    p.add_argument("--vallst")
+    p.add_argument("--framepath")
+    p.add_argument("--annopath")
+    p.add_argument("--valframepath")
+    p.add_argument("--valannopath")
+    p.add_argument("--outbasepath", default="runs/detector")
+    p.add_argument("--modelname", default="odt")
+    p.add_argument("--load_from", default=None)
+    # model
+    p.add_argument("--version", type=int, default=4)
+    p.add_argument("--num_class", type=int, default=16)
+    p.add_argument("--resnet50", action="store_true")
+    p.add_argument("--max_size", type=int, default=1920)
+    p.add_argument("--short_edge_size", type=int, default=1080)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    # train
+    p.add_argument("--init_lr", type=float, default=0.003)
+    p.add_argument("--optimizer", default="momentum")
+    p.add_argument("--wd", type=float, default=1e-4)
+    p.add_argument("--num_epochs", type=int, default=12)
+    p.add_argument("--im_batch_size", type=int, default=1)
+    p.add_argument("--warmup_steps", type=int, default=1000)
+    p.add_argument("--clip_gradient_norm", type=float, default=None)
+    p.add_argument("--save_every", type=int, default=2500)
+    p.add_argument("--eval_every", type=int, default=5000)
+    p.add_argument("--max_gt", type=int, default=100)
+    p.add_argument("--freeze", type=int, default=2)
+    p.add_argument("--flip_prob", type=float, default=0.5)
+    return p.parse_args(argv)
+
+
+def build(args, is_train: bool):
+    from ..config import DetectorConfig
+    from ..models import get_model
+    cfg = DetectorConfig.from_version(
+        args.version,
+        num_class=args.num_class,
+        resnet_depth=50 if args.resnet50 else 101,
+        short_edge_size=args.short_edge_size, max_size=args.max_size,
+        compute_dtype=args.compute_dtype, is_train=is_train,
+        freeze=args.freeze)
+    return cfg, get_model(cfg)
+
+
+def checkpoint_dir(args, best=False):
+    sub = "best" if best else "save"
+    return os.path.abspath(os.path.join(
+        args.outbasepath, args.modelname, sub))
+
+
+def save_ckpt(path, params, step):
+    import orbax.checkpoint as ocp
+    ckpter = ocp.PyTreeCheckpointer()
+    ckpter.save(os.path.join(path, f"step_{step}"),
+                {"params": params, "step": step}, force=True)
+
+
+def latest_ckpt(path):
+    if not os.path.isdir(path):
+        return None
+    steps = [int(d.split("_")[1]) for d in os.listdir(path)
+             if d.startswith("step_")]
+    return os.path.join(path, f"step_{max(steps)}") if steps else None
+
+
+def load_ckpt(path, params):
+    import orbax.checkpoint as ocp
+    import jax
+    ckpter = ocp.PyTreeCheckpointer()
+    restored = ckpter.restore(path)
+    loaded = restored["params"]
+    return jax.tree.map(lambda a, b: b.astype(a.dtype), params, loaded), \
+        int(restored.get("step", 0))
+
+
+def run_eval(args, cfg, model, params) -> float:
+    """Periodic AP/AR eval (reference main.py:1194-1530)."""
+    import jax
+    from ..data.training import DetectionTrainDataset
+    from ..evaluation import (aggregate_eval, gather_dt, gather_gt,
+                              match_dt_gt, weighted_average)
+    ds = DetectionTrainDataset(
+        args.vallst, args.valframepath or args.framepath,
+        args.valannopath or args.annopath, cfg.classname2id,
+        cfg.short_edge_size, cfg.max_size, batch_size=1,
+        max_gt=args.max_gt, shuffle=False, flip_prob=0.0)
+    infer_cfg = cfg.__class__(**{**cfg.__dict__, "is_train": False})
+    from ..models import get_model
+    infer_model = get_model(infer_cfg)
+    fn = jax.jit(infer_model.forward)
+    eval_target = {name: 1 for name in cfg.classname2id if name != "BG"}
+    e = {c: {} for c in eval_target}
+    for i, (images, gt_boxes, gt_labels, gt_valid) in enumerate(
+            ds.batches()):
+        out = fn(params, images)
+        valid = np.asarray(out["final_valid"][0])
+        boxes = np.asarray(out["final_boxes"][0])[valid]
+        probs = np.asarray(out["final_probs"][0])[valid]
+        labels = np.asarray(out["final_labels"][0])[valid]
+        dt = gather_dt(boxes, probs, labels, eval_target, cfg.classid2name)
+        gvalid = gt_valid[0]
+        gt = gather_gt(gt_boxes[0][gvalid], gt_labels[0][gvalid],
+                       eval_target, cfg.classid2name)
+        match_dt_gt(e, i, dt, gt, eval_target)
+    aps, ars = aggregate_eval(e)
+    ap, ar = weighted_average(aps, ars)
+    print("eval AP: %.4f AR: %.4f (%s)" % (
+        ap, ar, {k: round(v, 3) for k, v in aps.items()}))
+    return ap
+
+
+def mode_train(args):
+    import jax
+    from ..config import TrainConfig
+    from ..data.training import DetectionTrainDataset
+    from ..parallel import make_mesh, make_sharded_train_step
+    from ..train import Trainer
+    from ..utils.weights import load_weights
+
+    cfg, model = build(args, is_train=True)
+    ds = DetectionTrainDataset(
+        args.trainlst, args.framepath, args.annopath, cfg.classname2id,
+        cfg.short_edge_size, cfg.max_size, batch_size=args.im_batch_size,
+        max_gt=args.max_gt, flip_prob=args.flip_prob)
+    steps_per_epoch = max(1, ds.num_samples // args.im_batch_size)
+    total_steps = steps_per_epoch * args.num_epochs
+    print(f"{ds.num_samples} samples, {total_steps} steps")
+
+    tcfg = TrainConfig(
+        optimizer=args.optimizer, init_lr=args.init_lr, wd=args.wd,
+        warmup_steps=args.warmup_steps, warmup_init_lr=args.init_lr / 10,
+        total_steps=total_steps,
+        clip_gradient_norm=args.clip_gradient_norm)
+    params = model.init_params(jax.random.PRNGKey(0))
+    if args.load_from:
+        params = load_weights(args.load_from, model)
+
+    n_dev = jax.local_device_count()
+    mesh = make_mesh(n_data=n_dev, n_model=1)
+    trainer = Trainer(model, tcfg, mesh=mesh)
+    state, step_fn = make_sharded_train_step(trainer, params, mesh)
+
+    start_step = 0
+    latest = latest_ckpt(checkpoint_dir(args))
+    if latest:
+        new_params, start_step = load_ckpt(latest, state["params"])
+        state["params"] = new_params
+        print(f"resumed from {latest} (step {start_step})")
+
+    loss_ma = deque(maxlen=400)
+    best_ap = -1.0
+    rng = jax.random.PRNGKey(1)
+    step = start_step
+    t0 = time.time()
+    with mesh:
+        for images, gt_boxes, gt_labels, gt_valid in ds.batches(
+                args.num_epochs):
+            rng, sub = jax.random.split(rng)
+            state, losses = step_fn(state, images, gt_boxes, gt_labels,
+                                    gt_valid, sub)
+            step += 1
+            loss_ma.append(float(losses["total_loss"]))
+            if step % 100 == 0:
+                print("step %d/%d loss(ma) %.4f %.2f steps/s" % (
+                    step, total_steps, np.mean(loss_ma),
+                    100 / max(time.time() - t0, 1e-6)))
+                t0 = time.time()
+            if step % args.save_every == 0:
+                save_ckpt(checkpoint_dir(args), state["params"], step)
+            if args.vallst and step % args.eval_every == 0:
+                ap = run_eval(args, cfg, model, state["params"])
+                if ap > best_ap:
+                    best_ap = ap
+                    save_ckpt(checkpoint_dir(args, best=True),
+                              state["params"], step)
+            if step >= total_steps:
+                break
+    save_ckpt(checkpoint_dir(args), state["params"], step)
+    print("done; best AP", best_ap)
+
+
+def mode_test(args):
+    import jax
+    from ..utils.weights import load_weights
+    cfg, model = build(args, is_train=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    if args.load_from:
+        if args.load_from.endswith(".npz"):
+            params = load_weights(args.load_from, model)
+        else:
+            params, _ = load_ckpt(args.load_from, params)
+    run_eval(args, cfg, model, params)
+
+
+def mode_pack(args):
+    """AOT-compile + persist params/config (freeze equivalent)."""
+    import jax
+    from ..runtime.aot import aot_compile
+    from ..utils.weights import load_weights, save_npz
+    cfg, model = build(args, is_train=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    if args.load_from:
+        if args.load_from.endswith(".npz"):
+            params = load_weights(args.load_from, model)
+        else:
+            params, _ = load_ckpt(args.load_from, params)
+    out_dir = os.path.join(args.outbasepath, args.modelname, "packed")
+    os.makedirs(out_dir, exist_ok=True)
+    save_npz(os.path.join(out_dir, "params.npz"),
+             jax.tree.map(np.asarray, params))
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    h, w = cfg.short_edge_size, cfg.max_size
+    example = np.zeros((1, h, w, 3), np.uint8)
+    compiled = aot_compile(model.forward, params, example)
+    cost = compiled.cost_analysis()
+    flops = (cost or {}).get("flops", 0)
+    print(f"packed to {out_dir}; compiled for (1, {h}, {w}, 3), "
+          f"{flops / 1e9:.1f} GFLOP/frame")
+
+
+def main(argv=None):
+    args = get_args(argv)
+    from ..runtime.aot import enable_persistent_cache
+    enable_persistent_cache()
+    if args.mode == "train":
+        mode_train(args)
+    elif args.mode == "test":
+        mode_test(args)
+    elif args.mode == "pack":
+        mode_pack(args)
+    else:
+        print("forward mode: use cli.obj_detect_imgs (same output format)",
+              file=sys.stderr)
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Training data loading (reference main.py read_data_diva:737-1019).
+
+Layout: a frame-name lst file, a frame image dir (2-level
+``<videoname>/<framename>.jpg`` or flat), and per-frame ``.npz`` annotations
+with ``boxes`` [G, 4] x1y1x2y2 and ``labels`` (strings or ids). Batches are
+padded to a fixed max_gt with validity masks (static shapes for the jit
+train step).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from ..ops.boxes import get_new_hw
+
+
+def _find_image(framepath: str, name: str) -> Optional[str]:
+    base = os.path.splitext(name)[0]
+    video = base.split("_F_")[0] if "_F_" in base else None
+    candidates = [os.path.join(framepath, base + ext)
+                  for ext in (".jpg", ".png", ".jpeg")]
+    if video:
+        candidates += [os.path.join(framepath, video, base + ext)
+                       for ext in (".jpg", ".png", ".jpeg")]
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+class DetectionTrainDataset:
+    """Iterable over (images [B,H,W,3], gt_boxes [B,G,4], gt_labels [B,G],
+    gt_valid [B,G]) batches."""
+
+    def __init__(self, lst_file: str, framepath: str, annopath: str,
+                 classname2id: Dict[str, int], short_edge_size: int,
+                 max_size: int, batch_size: int = 1, max_gt: int = 100,
+                 shuffle: bool = True, seed: int = 0,
+                 flip_prob: float = 0.5):
+        with open(lst_file) as f:
+            names = [l.strip() for l in f if l.strip()]
+        self.samples = []
+        for name in names:
+            img = _find_image(framepath, name)
+            anno = os.path.join(annopath,
+                                os.path.splitext(name)[0] + ".npz")
+            if img and os.path.exists(anno):
+                self.samples.append((img, anno))
+        self.classname2id = classname2id
+        self.short_edge_size = short_edge_size
+        self.max_size = max_size
+        self.batch_size = batch_size
+        self.max_gt = max_gt
+        self.shuffle = shuffle
+        self.flip_prob = flip_prob
+        self.rng = random.Random(seed)
+        self.num_samples = len(self.samples)
+
+    def _load_one(self, img_path: str, anno_path: str, flip: bool):
+        im = cv2.imread(img_path, cv2.IMREAD_COLOR)
+        h, w = im.shape[:2]
+        neww, newh = get_new_hw(h, w, self.short_edge_size, self.max_size)
+        if (neww, newh) != (w, h):
+            im = cv2.resize(im, (neww, newh), interpolation=cv2.INTER_LINEAR)
+        sx, sy = neww / w, newh / h
+        anno = dict(np.load(anno_path, allow_pickle=True))
+        boxes = np.asarray(anno["boxes"], np.float32).reshape(-1, 4)
+        boxes[:, 0::2] *= sx
+        boxes[:, 1::2] *= sy
+        labels = []
+        for lab in anno["labels"]:
+            if isinstance(lab, bytes):
+                lab = lab.decode()
+            if isinstance(lab, str):
+                labels.append(self.classname2id.get(lab, -1))
+            else:
+                labels.append(int(lab))
+        labels = np.asarray(labels, np.int32)
+        keep = labels > 0
+        boxes, labels = boxes[keep], labels[keep]
+        if flip:
+            im = im[:, ::-1].copy()
+            x1 = neww - boxes[:, 2]
+            x2 = neww - boxes[:, 0]
+            boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
+        return im, boxes, labels
+
+    def batches(self, epochs: int = 1):
+        for _ in range(epochs):
+            order = list(range(self.num_samples))
+            if self.shuffle:
+                self.rng.shuffle(order)
+            for s in range(0, len(order) - self.batch_size + 1,
+                           self.batch_size):
+                idxs = order[s:s + self.batch_size]
+                ims, gts, labs = [], [], []
+                for i in idxs:
+                    flip = self.shuffle and \
+                        self.rng.random() < self.flip_prob
+                    im, b, l = self._load_one(*self.samples[i], flip)
+                    ims.append(im)
+                    gts.append(b)
+                    labs.append(l)
+                hmax = max(im.shape[0] for im in ims)
+                wmax = max(im.shape[1] for im in ims)
+                images = np.zeros((len(ims), hmax, wmax, 3), np.uint8)
+                g = self.max_gt
+                gt_boxes = np.zeros((len(ims), g, 4), np.float32)
+                gt_labels = np.zeros((len(ims), g), np.int32)
+                gt_valid = np.zeros((len(ims), g), bool)
+                for bi, (im, b, l) in enumerate(zip(ims, gts, labs)):
+                    images[bi, :im.shape[0], :im.shape[1]] = im
+                    n = min(len(b), g)
+                    gt_boxes[bi, :n] = b[:n]
+                    gt_labels[bi, :n] = l[:n]
+                    gt_valid[bi, :n] = True
+                yield images, gt_boxes, gt_labels, gt_valid
