@@ -397,6 +397,19 @@ class FasterRCNNFPN:
         """jit-compiled batched forward: fn(params, images[B,h,w,3])."""
         return jax.jit(self.forward)
 
+    def extract_box_feat(self, params, images: jnp.ndarray,
+                         boxes: jnp.ndarray) -> jnp.ndarray:
+        """Feature-extractor-only graph: given images [B, h, w, 3] and boxes
+        [B, N, 4] (image coords), return mean-pooled ROI features [B, N, C]
+        (replaces RCNN_FPN_givenbox, models.py:1816-1967 — used by the
+        activity-recognition pipelines)."""
+        b, h, w = images.shape[0], images.shape[1], images.shape[2]
+        hp, wp, _, _ = self._static_geometry(h, w)
+        p_images = self.preprocess(images, hp, wp)
+        p23456 = self.backbone(params, p_images)
+        feats = self._roi_align_batched(p23456, boxes, 7)
+        return feats.mean(axis=(2, 3))
+
     # ------------------------------------------------------------------
     # training forward
 
