@@ -59,6 +59,8 @@ def get_args(argv=None):
     parser.add_argument("--im_batch_size", type=int, default=1)
     parser.add_argument("--threshold_conf", type=float, default=0.0001)
     parser.add_argument("--compute_dtype", default="bfloat16")
+    parser.add_argument("--add_mask", action="store_true",
+                        help="Mask-RCNN head: segmentation RLE in the json")
     # tracking
     parser.add_argument("--get_tracking", action="store_true")
     parser.add_argument("--tracker", default="deep_sort",
@@ -98,6 +100,7 @@ def build_config(args) -> DetectorConfig:
         max_size=args.max_size,
         result_score_thres=args.threshold_conf,
         compute_dtype=args.compute_dtype,
+        add_mask=getattr(args, "add_mask", False),
         resnet_depth=50 if args.resnet50 else (
             152 if getattr(args, "resnet152", False) else 101),
     )
@@ -204,9 +207,12 @@ def process_video(args, cfg, runner, video_path, classid2name,
                                       tentative_buf[obj])
 
             if video_out_path is not None:
+                masks = host_out.get("final_masks")
                 _write_frame_json(args, video_out_path, videoname, cur_frame,
                                   boxes, labels, probs, valid, scale,
-                                  classid2name)
+                                  classid2name,
+                                  masks[bi] if masks is not None else None,
+                                  enq.orig_hw)
 
     if args.get_tracking:
         for obj in tracking_objs:
@@ -244,19 +250,25 @@ def _store_tracks(tracker, cur_frame, rows, tent_buf):
 
 
 def _write_frame_json(args, video_out_path, videoname, cur_frame, boxes,
-                      labels, probs, valid, scale, classid2name):
+                      labels, probs, valid, scale, classid2name,
+                      masks=None, orig_hw=None):
     pred = []
     for i in np.flatnonzero(valid):
         box = boxes[i] / scale
         x, y = float(box[0]), float(box[1])
         w, h = float(box[2] - box[0]), float(box[3] - box[1])
         cat_id = int(labels[i])
+        rle = None
+        if masks is not None and orig_hw is not None:
+            from ..utils.masks import fill_full_mask, rle_encode
+            full = fill_full_mask(box, masks[i], orig_hw)
+            rle = rle_encode(full)
         pred.append({
             "category_id": cat_id,
             "cat_name": classid2name.get(cat_id, str(cat_id)),
             "score": float(round(float(probs[i]), 7)),
             "bbox": [round(x, 2), round(y, 2), round(w, 2), round(h, 2)],
-            "segmentation": None,
+            "segmentation": rle,
         })
     if args.use_my_naming:
         name = "%s_F_%08d.json" % (videoname, cur_frame)

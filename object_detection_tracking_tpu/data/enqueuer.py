@@ -60,6 +60,7 @@ class VideoEnqueuer:
         batch_imgs: List[np.ndarray] = []
         batch_idx: List[int] = []
         scale = None
+        self.orig_hw = None
         try:
             while not self._stop.is_set():
                 ok, frame = self.vcap.read()
@@ -69,6 +70,7 @@ class VideoEnqueuer:
                     cur_frame += 1
                     continue
                 h, w = frame.shape[:2]
+                self.orig_hw = (h, w)
                 neww, newh = get_new_hw(h, w, self.short_edge_size,
                                         self.max_size)
                 if (neww, newh) != (w, h):

@@ -37,29 +37,38 @@ class DetectionRunner:
         self._fn = jax.jit(self._fetch_forward)
 
     def _fetch_forward(self, params, images):
-        """Forward + pack every fetched output into ONE [B, R, 3+1+C] f32
-        tensor: the tunneled device->host link is latency-bound, so one
-        readback per batch instead of five."""
+        """Forward + pack every fetched output into ONE [B, R, 3+1+C(+784)]
+        f32 tensor: the tunneled device->host link is latency-bound, so one
+        readback per batch instead of five. Mask models append the flattened
+        28x28 sigmoid masks."""
         import jax.numpy as jnp
         out = self.model.forward(params, images)
-        packed = jnp.concatenate([
+        parts = [
             out["final_boxes"],
             out["final_labels"][..., None].astype(jnp.float32),
             out["final_probs"][..., None],
             out["final_valid"][..., None].astype(jnp.float32),
             out["pooled_box_feat"],
-        ], axis=-1)
-        return packed
+        ]
+        if "final_masks" in out:
+            b, r = out["final_masks"].shape[:2]
+            parts.append(out["final_masks"].reshape(b, r, -1))
+        return jnp.concatenate(parts, axis=-1)
 
-    @staticmethod
-    def _unpack(packed: np.ndarray) -> Dict[str, np.ndarray]:
-        return {
+    def _unpack(self, packed: np.ndarray) -> Dict[str, np.ndarray]:
+        has_masks = getattr(self.model.config, "add_mask", False)
+        feat_end = packed.shape[-1] - (784 if has_masks else 0)
+        out = {
             "final_boxes": packed[..., 0:4],
             "final_labels": packed[..., 4].astype(np.int32),
             "final_probs": packed[..., 5],
             "final_valid": packed[..., 6] > 0.5,
-            "pooled_box_feat": packed[..., 7:],
+            "pooled_box_feat": packed[..., 7:feat_end],
         }
+        if has_masks:
+            b, r = packed.shape[:2]
+            out["final_masks"] = packed[..., feat_end:].reshape(b, r, 28, 28)
+        return out
 
     def run(self, batches: Iterable[Tuple[np.ndarray, object]]
             ) -> Iterator[Tuple[Dict[str, np.ndarray], object]]:
@@ -100,6 +109,5 @@ class DetectionRunner:
             while inflight:
                 yield self._to_host(*inflight.popleft())
 
-    @classmethod
-    def _to_host(cls, out, meta):
-        return cls._unpack(np.asarray(out)), meta
+    def _to_host(self, out, meta):
+        return self._unpack(np.asarray(out)), meta
