@@ -99,6 +99,9 @@ class DetectorConfig:
     add_mask: bool = False
     mrcnn_head_dim: int = 256
 
+    # --- losses
+    focal_loss: bool = False
+
     # --- image geometry (static for jit)
     short_edge_size: int = 1080
     max_size: int = 1920          # rounded up to fpn multiple in __post_init__

@@ -96,7 +96,11 @@ class FasterRCNNFPN:
                                  cfg.num_anchors_per_cell),
             "fastrcnn": heads_lib.init_fastrcnn_2fc_head(
                 r4, cfg.num_class, cfg.fpn_num_channel, 7,
-                cfg.fpn_frcnn_fc_head_dim, cfg.use_frcnn_class_agnostic),
+                cfg.fpn_frcnn_fc_head_dim, cfg.use_frcnn_class_agnostic,
+                add_relation_nn=cfg.add_relation_nn,
+                use_att_head=cfg.use_att_frcnn_head,
+                use_conv_head=cfg.use_conv_frcnn_head,
+                conv_dim=cfg.conv_frcnn_head_dim),
         }
         if cfg.add_mask:
             params["maskrcnn"] = heads_lib.init_maskrcnn_head(
@@ -252,6 +256,30 @@ class FasterRCNNFPN:
                 [f2, f3, f4, f5], bx, cfg.anchor_strides[:4], pool)
         )(feat32[0], feat32[1], feat32[2], feat32[3], boxes)
 
+    def _apply_head(self, params, roi_feats, boxes):
+        """Box head over [B, K, 7, 7, C] features. Flattens the batch into
+        one big matmul normally; relation/attention variants need per-image
+        box context, so they run under vmap instead."""
+        cfg = self.config
+        b, k = roi_feats.shape[:2]
+        dt = jnp.dtype(cfg.compute_dtype)
+        boxes_aware = cfg.add_relation_nn
+        if boxes_aware:
+            label_out, box_out = jax.vmap(
+                lambda f, bx: heads_lib.fastrcnn_2fc_head(
+                    params["fastrcnn"], f.astype(dt), cfg.num_class,
+                    cfg.use_frcnn_class_agnostic, boxes=bx)
+            )(roi_feats, boxes)
+            return (label_out.astype(jnp.float32),
+                    box_out.astype(jnp.float32))
+        roi_flat = roi_feats.reshape(b * k, 7, 7,
+                                     cfg.fpn_num_channel).astype(dt)
+        label_out, box_out = heads_lib.fastrcnn_2fc_head(
+            params["fastrcnn"], roi_flat, cfg.num_class,
+            cfg.use_frcnn_class_agnostic)
+        return (label_out.reshape(b, k, -1).astype(jnp.float32),
+                box_out.reshape(b, k, -1, 4).astype(jnp.float32))
+
     def _predictions_single(self, decoded, probs, prop_valid):
         """Per-class NMS + global top-R (models.py:1258-1330), static.
 
@@ -335,14 +363,8 @@ class FasterRCNNFPN:
         # ROIAlign + head (flatten batch -> one big matmul batch)
         k = prop_boxes.shape[1]
         roi_feats = self._roi_align_batched(p23456, prop_boxes, 7)
-        roi_flat = roi_feats.reshape(b * k, 7, 7, cfg.fpn_num_channel)
-        roi_flat = roi_flat.astype(jnp.dtype(cfg.compute_dtype))
-
-        label_out, box_out = heads_lib.fastrcnn_2fc_head(
-            params["fastrcnn"], roi_flat, cfg.num_class,
-            cfg.use_frcnn_class_agnostic)
-        label_out = label_out.reshape(b, k, -1).astype(jnp.float32)
-        box_out = box_out.reshape(b, k, -1, 4).astype(jnp.float32)
+        label_out, box_out = self._apply_head(
+            params, roi_feats, prop_boxes)
 
         if cfg.use_frcnn_class_agnostic:
             box_out = jnp.broadcast_to(
@@ -454,7 +476,8 @@ class FasterRCNNFPN:
                 cfg.positive_anchor_thres, cfg.negative_anchor_thres)
             safe_t = jnp.where((labels == 1)[:, None], tboxes, flat_anchors)
             return loss_lib.rpn_losses(
-                labels, safe_t, flat_anchors, ll, bl, cfg.rpn_batch_per_im)
+                labels, safe_t, flat_anchors, ll, bl, cfg.rpn_batch_per_im,
+                use_focal=cfg.focal_loss)
 
         rpn_loss = jax.vmap(rpn_one)(
             rpn_keys, gt_boxes, gt_valid, flat_label_logits,
@@ -484,14 +507,7 @@ class FasterRCNNFPN:
 
         s = roi_boxes.shape[1]
         roi_feats = self._roi_align_batched(p23456, roi_boxes, 7)
-        roi_flat = roi_feats.reshape(b * s, 7, 7, cfg.fpn_num_channel)
-        roi_flat = roi_flat.astype(jnp.dtype(cfg.compute_dtype))
-
-        label_out, box_out = heads_lib.fastrcnn_2fc_head(
-            params["fastrcnn"], roi_flat, cfg.num_class,
-            cfg.use_frcnn_class_agnostic)
-        label_out = label_out.reshape(b, s, -1).astype(jnp.float32)
-        box_out = box_out.reshape(b, s, -1, 4).astype(jnp.float32)
+        label_out, box_out = self._apply_head(params, roi_feats, roi_boxes)
 
         from ..ops.boxes import encode_boxes
         reg_w = jnp.asarray(cfg.fastrcnn_bbox_reg_weights, jnp.float32)
@@ -499,7 +515,9 @@ class FasterRCNNFPN:
                                samples["fg_gt_boxes"], roi_boxes)
         enc_fg = encode_boxes(fg_gt_safe, roi_boxes) * reg_w
 
-        frcnn_loss = jax.vmap(loss_lib.fastrcnn_losses)(
+        frcnn_loss = jax.vmap(
+            lambda *a: loss_lib.fastrcnn_losses(
+                *a, use_focal=cfg.focal_loss))(
             samples["labels"], label_out, enc_fg, box_out,
             samples["valid"], samples["fg"])
 

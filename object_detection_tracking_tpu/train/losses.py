@@ -34,18 +34,37 @@ def softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return logz - picked
 
 
+def focal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+               alpha: float = 0.25, gamma: float = 2.0) -> jnp.ndarray:
+    """Per-element sigmoid focal loss (nn.py:1621-1640; sum over the last
+    axes is the caller's job). labels are {0, 1} floats."""
+    p = jax.nn.sigmoid(logits.astype(jnp.float32))
+    pos_sub = jnp.where(labels > 0, labels - p, 0.0)
+    neg_sub = jnp.where(labels > 0, 0.0, p)
+    return (-alpha * (pos_sub ** gamma) *
+            jnp.log(jnp.clip(p, 1e-8, 1.0)) -
+            (1 - alpha) * (neg_sub ** gamma) *
+            jnp.log(jnp.clip(1.0 - p, 1e-8, 1.0)))
+
+
 def rpn_losses(anchor_labels: jnp.ndarray, anchor_boxes: jnp.ndarray,
                anchors: jnp.ndarray, label_logits: jnp.ndarray,
                box_logits: jnp.ndarray,
-               rpn_batch_per_im: int = 256) -> Dict[str, jnp.ndarray]:
+               rpn_batch_per_im: int = 256,
+               use_focal: bool = False) -> Dict[str, jnp.ndarray]:
     """One level. anchor_labels [N] {-1,0,1}; anchor_boxes [N, 4] target gt
     boxes (fg rows); anchors [N, 4]; logits [N] / [N, 4]."""
     valid = anchor_labels != -1
     pos = anchor_labels == 1
 
-    lbl = sigmoid_ce(label_logits.astype(jnp.float32),
-                     (anchor_labels == 1).astype(jnp.float32))
-    label_loss = jnp.where(valid, lbl, 0.0).sum() / rpn_batch_per_im
+    if use_focal:
+        lbl = focal_loss(label_logits.astype(jnp.float32),
+                         (anchor_labels == 1).astype(jnp.float32))
+        label_loss = jnp.where(valid, lbl, 0.0).sum()
+    else:
+        lbl = sigmoid_ce(label_logits.astype(jnp.float32),
+                         (anchor_labels == 1).astype(jnp.float32))
+        label_loss = jnp.where(valid, lbl, 0.0).sum() / rpn_batch_per_im
 
     enc_gt = encode_boxes(anchor_boxes, anchors)
     delta = 1.0 / 9
@@ -63,14 +82,19 @@ def rpn_losses(anchor_labels: jnp.ndarray, anchor_boxes: jnp.ndarray,
 
 def fastrcnn_losses(labels: jnp.ndarray, label_logits: jnp.ndarray,
                     enc_fg_boxes: jnp.ndarray, box_logits: jnp.ndarray,
-                    valid: jnp.ndarray, fg: jnp.ndarray
-                    ) -> Dict[str, jnp.ndarray]:
+                    valid: jnp.ndarray, fg: jnp.ndarray,
+                    use_focal: bool = False) -> Dict[str, jnp.ndarray]:
     """labels [S] (0 bg), label_logits [S, C], enc_fg_boxes [S, 4] encoded
     regression targets for fg rows, box_logits [S, num_box_class, 4], masks
     valid/fg [S]."""
-    ce = softmax_ce(label_logits.astype(jnp.float32), labels)
     n_valid = jnp.maximum(valid.sum(), 1)
-    label_loss = jnp.where(valid, ce, 0.0).sum() / n_valid
+    if use_focal:
+        onehot = jax.nn.one_hot(labels, label_logits.shape[-1])
+        fl = focal_loss(label_logits.astype(jnp.float32), onehot).sum(-1)
+        label_loss = jnp.where(valid, fl, 0.0).sum()
+    else:
+        ce = softmax_ce(label_logits.astype(jnp.float32), labels)
+        label_loss = jnp.where(valid, ce, 0.0).sum() / n_valid
 
     if box_logits.shape[1] > 1:
         cls_idx = jnp.maximum(labels - 1, 0)

@@ -69,8 +69,8 @@ def test_train_step_overfits_single_batch():
     model = get_model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     trainer = Trainer(model, TrainConfig(
-        optimizer="momentum", init_lr=0.01, warmup_steps=0, total_steps=50,
-        lr_schedule="constant", wd=0.0))
+        optimizer="momentum", init_lr=0.003, warmup_steps=0, total_steps=50,
+        lr_schedule="constant", wd=0.0, clip_gradient_norm=10.0))
     state = trainer.init_state(params)
     step = trainer.step_fn()
     batch = make_batch()
