@@ -49,6 +49,9 @@ def get_args(argv=None):
     parser.add_argument("--num_class", type=int, default=16)
     parser.add_argument("--is_coco_model", action="store_true")
     parser.add_argument("--use_partial_classes", action="store_true")
+    parser.add_argument("--actasobj", action="store_true",
+                        help="use the activity-box taxonomy "
+                        "(class_ids.targetAct2id)")
     parser.add_argument("--is_efficientdet", action="store_true")
     parser.add_argument("--efficientdet_modelname", default="efficientdet-d0")
     parser.add_argument("--resnet50", action="store_true")
@@ -119,6 +122,10 @@ def build_config(args) -> DetectorConfig:
     if args.is_coco_model:
         overrides.pop("num_class", None)
         return DetectorConfig.coco(**overrides)
+    if getattr(args, "actasobj", False):
+        from ..class_ids import targetAct2id
+        overrides.update(class_map="activity",
+                         num_class=len(targetAct2id))
     return DetectorConfig.from_version(args.version, **overrides)
 
 
