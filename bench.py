@@ -112,9 +112,15 @@ def main():
     run_video(warm_path, track=False)
     setup_s = time.time() - t_setup
 
-    t0 = time.time()
-    processed = run_video(bench_path, track=True)
-    elapsed = time.time() - t0
+    # the shared TPU service behind the tunnel has up-to-3x wall-clock
+    # variance run-to-run; measure 3 passes and report the median
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        processed = run_video(bench_path, track=True)
+        runs.append((time.time() - t0, processed))
+    runs.sort()
+    elapsed, processed = runs[len(runs) // 2]
 
     covered_video_s = processed * FRAME_GAP / FPS
     x_rt = covered_video_s / elapsed
@@ -126,7 +132,8 @@ def main():
         "vs_baseline": round(x_rt / 8.0, 3),
         "detail": {
             "processed_frames": processed,
-            "wall_s": round(elapsed, 2),
+            "wall_s_median": round(elapsed, 2),
+            "wall_s_all": [round(r[0], 2) for r in runs],
             "fps_processed": round(processed / elapsed, 2),
             "setup_s": round(setup_s, 1),
         },

@@ -89,7 +89,8 @@ class FasterRCNNFPN:
             "resnet": init_resnet(r1, cfg.resnet_num_block,
                                   cfg.use_basic_block,
                                   use_se=cfg.use_se,
-                                  use_resnext=cfg.use_resnext),
+                                  use_resnext=cfg.use_resnext,
+                                  use_deformable=cfg.use_deformable),
             "fpn": init_fpn(r2, self.c_channels, cfg.fpn_num_channel,
                             use_gn=cfg.use_gn),
             "rpn": init_rpn_head(r3, cfg.fpn_num_channel,

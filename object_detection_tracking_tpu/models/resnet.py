@@ -44,7 +44,7 @@ def _init_conv_bn(rng, kernel, c_in, c_out, groups: int = 1):
 
 
 def init_bottleneck(rng, c_in: int, ch_out: int, use_se: bool,
-                    use_resnext: bool) -> Dict:
+                    use_resnext: bool, deformable: bool = False) -> Dict:
     rngs = _split_rng(rng, 6)
     width = ch_out * 2 if use_resnext else ch_out
     p = {
@@ -53,6 +53,9 @@ def init_bottleneck(rng, c_in: int, ch_out: int, use_se: bool,
                                groups=32 if use_resnext else 1),
         "conv3": _init_conv_bn(rngs[2], 1, width, ch_out * 4),
     }
+    if deformable:
+        p["conv2_offset"] = init_conv(rngs[5], 3, width, 18, use_bias=True,
+                                      w_init="normal", stddev=1e-8)
     if c_in != ch_out * 4:
         p["convshortcut"] = _init_conv_bn(rngs[3], 1, c_in, ch_out * 4)
     if use_se:
@@ -73,11 +76,12 @@ def init_basicblock(rng, c_in: int, ch_out: int) -> Dict:
 
 
 def init_resnet(rng, num_blocks: Sequence[int], use_basic_block: bool,
-                use_se: bool = False, use_resnext: bool = False) -> Dict:
+                use_se: bool = False, use_resnext: bool = False,
+                use_deformable: bool = False,
+                modified_block_num: int = 3) -> Dict:
     rngs = _split_rng(rng, 5)
     params: Dict = {"conv0": _init_conv_bn(rngs[0], 7, 3, 64)}
     c_in = 64
-    expansion = 1 if use_basic_block else 4
     for gi, (count, feat) in enumerate(zip(num_blocks, (64, 128, 256, 512))):
         grng = _split_rng(rngs[gi + 1], count)
         group = {}
@@ -86,8 +90,13 @@ def init_resnet(rng, num_blocks: Sequence[int], use_basic_block: bool,
                 group[f"block{bi}"] = init_basicblock(grng[bi], c_in, feat)
                 c_in = feat
             else:
+                # deformable applies to the last blocks of groups 1..3
+                # (resnet_group modified_block_num, nn.py:976-1000)
+                deform = (use_deformable and gi >= 1 and
+                          bi >= count - modified_block_num)
                 group[f"block{bi}"] = init_bottleneck(
-                    grng[bi], c_in, feat, use_se, use_resnext)
+                    grng[bi], c_in, feat, use_se, use_resnext,
+                    deformable=deform)
                 c_in = feat * 4
         params[f"group{gi}"] = group
     return params
@@ -107,7 +116,14 @@ def bottleneck(params, x, stride: int, dilation: int,
     groups = 32 if use_resnext else 1
     l = conv2d(params["conv1"], x)
     l = bn_relu(params["conv1"]["bn"], l)
-    if stride == 2:
+    if "conv2_offset" in params:
+        # deformable conv2 (nn.py:471-490): offsets from a side conv, the
+        # main 3x3 samples displaced taps
+        from .deformable import deformable_conv2d
+        dp = {"offset": params["conv2_offset"], "W": params["conv2"]["W"]}
+        l = deformable_conv2d(dp, l, stride=stride)
+        l = bn_relu(params["conv2"]["bn"], l)
+    elif stride == 2:
         l = conv2d(params["conv2"], l, stride=2, dilation=dilation,
                    padding=_stride2_pad(), groups=groups)
         l = bn_relu(params["conv2"]["bn"], l)
