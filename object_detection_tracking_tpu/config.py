@@ -102,6 +102,14 @@ class DetectorConfig:
     # --- losses
     focal_loss: bool = False
 
+    # --- small-object heads (models.py:592-691; ActEV SO experiments)
+    use_small_object_head: bool = False
+    use_so_association: bool = False
+    use_so_score_thres: bool = False
+    so_person_topk: int = 10
+    small_objects: Tuple[str, ...] = (
+        "Prop", "Push_Pulled_Object", "Prop_plus_Push_Pulled_Object", "Bike")
+
     # --- image geometry (static for jit)
     short_edge_size: int = 1080
     max_size: int = 1920          # rounded up to fpn multiple in __post_init__

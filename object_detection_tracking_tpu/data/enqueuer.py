@@ -63,12 +63,15 @@ class VideoEnqueuer:
         self.orig_hw = None
         try:
             while not self._stop.is_set():
+                if cur_frame % self.frame_gap != 0:
+                    # skipped frame: decode-advance without pixel conversion
+                    if not self.vcap.grab():
+                        break
+                    cur_frame += 1
+                    continue
                 ok, frame = self.vcap.read()
                 if not ok:
                     break
-                if cur_frame % self.frame_gap != 0:
-                    cur_frame += 1
-                    continue
                 h, w = frame.shape[:2]
                 self.orig_hw = (h, w)
                 neww, newh = get_new_hw(h, w, self.short_edge_size,

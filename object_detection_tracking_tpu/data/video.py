@@ -42,6 +42,12 @@ class VideoReader:
     def read(self) -> Tuple[bool, Optional[np.ndarray]]:
         raise NotImplementedError
 
+    def grab(self) -> bool:
+        """Advance one frame without returning pixels (cheaper than read
+        for frame-gap skipping; falls back to read)."""
+        ok, _ = self.read()
+        return ok
+
     def release(self):
         pass
 
@@ -66,6 +72,9 @@ class CV2Reader(VideoReader):
     def read(self):
         ok, frame = self.cap.read()
         return ok, frame
+
+    def grab(self):
+        return self.cap.grab()
 
     def release(self):
         self.cap.release()

@@ -106,6 +106,21 @@ class FasterRCNNFPN:
         if cfg.add_mask:
             params["maskrcnn"] = heads_lib.init_maskrcnn_head(
                 r5, cfg.num_class, cfg.fpn_num_channel, cfg.mrcnn_head_dim)
+        if cfg.use_small_object_head:
+            from .layers import init_dense
+            from .relation import init_relation
+            so_names = [n for n in cfg.small_objects
+                        if n in cfg.classname2id]
+            rs = jax.random.split(jax.random.fold_in(rng, 99),
+                                  len(so_names) + 1)
+            so: Dict = {}
+            for i in range(len(so_names)):
+                so[f"small_object_classification_c{i + 1}"] = init_dense(
+                    rs[i], cfg.fpn_frcnn_fc_head_dim, 2, "normal", 0.01)
+            if cfg.use_so_association:
+                so["person_object_relation"] = init_relation(
+                    rs[-1], cfg.fpn_frcnn_fc_head_dim)
+            params["small_objects"] = so
         return params
 
     # ------------------------------------------------------------------
@@ -238,6 +253,92 @@ class FasterRCNNFPN:
         k = min(topk_per_level, boxes.shape[0])
         top_scores, top_idx = jax.lax.top_k(scores, k)
         return boxes[top_idx], valid[top_idx]
+
+    def _small_object_outputs(self, params, p23456, decoded, probs,
+                              prop_valid, h: int, w: int):
+        """Small-object 2-class refinement heads with optional person-object
+        association (models.py:592-691, inference path 807-900).
+
+        Per SO class: NMS the class's decoded boxes to R, re-ROIAlign, run
+        the shared fc6/fc7, add the person-relation residual if enabled,
+        classify fg/bg, then per-class NMS + global top-R like the main
+        predictions. Returns so_final_* [B, R, ...] outputs."""
+        cfg = self.config
+        r = cfg.result_per_im
+        so_ids = [cfg.classname2id[n] - 1 for n in cfg.small_objects
+                  if n in cfg.classname2id]
+        n_so = len(so_ids)
+        person_id = cfg.classname2id.get("Person", 1) - 1
+        sop = params["small_objects"]
+
+        def one_image(dec, prb, valid, f2, f3, f4, f5):
+            feats = (f2, f3, f4, f5)
+
+            def roi_head(boxes):
+                rf = multilevel_roi_align(
+                    [x.astype(jnp.float32) for x in feats], boxes,
+                    cfg.anchor_strides[:4], 7)
+                hp = params["fastrcnn"]
+                hid = jax.nn.relu(heads_lib.dense(hp["fc6"], rf))
+                return jax.nn.relu(heads_lib.dense(hp["fc7"], hid))
+
+            so_boxes, so_scores, so_valid = [], [], []
+            for c in so_ids:
+                idx, val = nms(dec[:, c], prb[:, c + 1], r,
+                               cfg.fastrcnn_nms_iou_thres, valid=valid)
+                idx_c = jnp.maximum(idx, 0)
+                so_boxes.append(jnp.where(val[:, None], dec[idx_c, c], 0.0))
+                so_scores.append(jnp.where(val, prb[idx_c, c + 1], 0.0))
+                so_valid.append(val)
+            so_boxes = jnp.stack(so_boxes)       # [C, R, 4]
+            so_valid = jnp.stack(so_valid)       # [C, R]
+
+            hidden = roi_head(so_boxes.reshape(-1, 4))
+            hidden = hidden.reshape(n_so, r, -1)
+
+            if cfg.use_so_association:
+                from .relation import person_object_relation
+                pidx, pval = nms(dec[:, person_id], prb[:, person_id + 1],
+                                 cfg.so_person_topk,
+                                 cfg.fastrcnn_nms_iou_thres, valid=valid)
+                pidx_c = jnp.maximum(pidx, 0)
+                ref_boxes = jnp.where(pval[:, None],
+                                      dec[pidx_c, person_id], 0.0)
+                ref_feat = roi_head(ref_boxes)
+                hidden = jnp.stack([
+                    hidden[i] + person_object_relation(
+                        sop["person_object_relation"], hidden[i],
+                        so_boxes[i], ref_boxes, ref_feat)
+                    for i in range(n_so)])
+
+            so_logits = jnp.stack([
+                heads_lib.dense(sop[f"small_object_classification_c{i+1}"],
+                                hidden[i]) for i in range(n_so)])  # [C,R,2]
+
+            # reconstruct [R, C+1] label logits (models.py:865-880)
+            bg = so_logits[:, :, 0].mean(axis=0)
+            label_logits = jnp.concatenate(
+                [bg[:, None]] + [so_logits[i, :, 1:2]
+                                 for i in range(n_so)], axis=1)
+            so_probs = jax.nn.softmax(label_logits, axis=-1)
+            boxes_t = jnp.swapaxes(so_boxes, 0, 1)  # [R, C, 4]
+            boxes_t = clip_boxes(boxes_t, (h, w))
+            # zero out candidates that didn't survive their class's NMS
+            cand_valid = jnp.swapaxes(so_valid, 0, 1)       # [R, C]
+            bg_col = jnp.ones((r, 1), bool)
+            so_probs = jnp.where(
+                jnp.concatenate([bg_col, cand_valid], axis=1), so_probs, 0.0)
+            if cfg.use_so_score_thres:
+                so_probs = jnp.where(so_probs > cfg.result_score_thres,
+                                     so_probs, 0.0)
+            return self._predictions_single(
+                boxes_t, so_probs, jnp.ones((r,), bool))
+
+        feat32 = [p for p in p23456[:4]]
+        sb, sl, sp, sv, _ = jax.vmap(one_image)(
+            decoded, probs, prop_valid, *feat32)
+        return {"so_final_boxes": sb, "so_final_labels": sl,
+                "so_final_probs": sp, "so_final_valid": sv}
 
     def _roi_align_batched(self, p23456, boxes, pool: int) -> jnp.ndarray:
         """FPN ROIAlign over the batch: Pallas window kernel (fast; feature
@@ -382,6 +483,11 @@ class FasterRCNNFPN:
         decoded = clip_boxes(decoded, (h, w))
         probs = jax.nn.softmax(label_out, axis=-1)
 
+        so_out = {}
+        if cfg.use_small_object_head and "small_objects" in params:
+            so_out = self._small_object_outputs(
+                params, p23456, decoded, probs, prop_valid, h, w)
+
         fb, fl, fp, fv, fci = jax.vmap(self._predictions_single)(
             decoded, probs, prop_valid)
 
@@ -399,6 +505,8 @@ class FasterRCNNFPN:
         }
         if self.keep_full_box_feat:
             out["fpn_box_feat"] = box_feat
+
+        out.update(so_out)
 
         if cfg.add_mask and "maskrcnn" in params:
             r = cfg.result_per_im

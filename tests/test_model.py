@@ -71,3 +71,25 @@ def test_backbone_geometry(tiny):
     # pad-region mask: image (48, 72) -> ceil/4 = (12, 18) valid cells at p2
     assert valids[0][:12, :18].all()
     assert not valids[0][12:, :].any() and not valids[0][:, 18:].any()
+
+
+def test_small_object_head_outputs():
+    """SO refinement heads (models.py:592-691): per-SO-class NMS + shared-fc
+    2-way classification + person association; labels index the
+    config.small_objects list (1-based)."""
+    cfg = DetectorConfig(
+        num_class=16, resnet_depth=18, short_edge_size=64, max_size=128,
+        rpn_test_post_nms_topk=32, result_per_im=8, compute_dtype="float32",
+        use_small_object_head=True, use_so_association=True)
+    m = get_model(cfg)
+    params = m.init_params(jax.random.PRNGKey(0))
+    imgs = np.random.RandomState(5).randint(
+        0, 255, (1, 48, 72, 3)).astype(np.uint8)
+    out = m.forward(params, imgs)
+    n_so = len([n for n in cfg.small_objects if n in cfg.classname2id])
+    assert out["so_final_boxes"].shape == (1, 8, 4)
+    fl = np.asarray(out["so_final_labels"])
+    fv = np.asarray(out["so_final_valid"])
+    assert ((fl[fv] >= 1) & (fl[fv] <= n_so)).all()
+    fb = np.asarray(out["so_final_boxes"])
+    assert fb[..., 0::2].max() <= 72 and fb[..., 1::2].max() <= 48
