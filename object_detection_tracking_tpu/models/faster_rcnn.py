@@ -346,9 +346,13 @@ class FasterRCNNFPN:
         gather per config.roi_align_impl. Returns [B, N, pool, pool, C] f32.
         """
         cfg = self.config
-        # the Pallas kernel is forward-only (no VJP yet); training always
-        # takes the differentiable XLA gather
-        if cfg.roi_align_impl == "pallas" and not cfg.is_train:
+        if cfg.roi_align_impl == "pallas":
+            if cfg.is_train:
+                # custom-VJP wrapper: Pallas forward, XLA scatter backward
+                from ..ops.pallas.roi_align_pallas import (
+                    multilevel_roi_align_trainable)
+                return multilevel_roi_align_trainable(
+                    tuple(p23456[:4]), boxes, cfg.anchor_strides[:4], pool)
             from ..ops.pallas import multilevel_roi_align_pallas
             return multilevel_roi_align_pallas(
                 list(p23456[:4]), boxes, cfg.anchor_strides[:4], pool)

@@ -256,3 +256,39 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     out = _roi_align_packed(packed, meta_i, meta_f, output_size)
     out = out.reshape(b, n, output_size, output_size, c_pad)
     return out[..., :c]
+
+
+def _xla_multilevel(features, boxes, strides, output_size):
+    from ..roi_align import multilevel_roi_align
+    f32 = [f.astype(jnp.float32) for f in features]
+    return jax.vmap(lambda *a: multilevel_roi_align(
+        list(a[:-1]), a[-1], strides, output_size))(*f32, boxes)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def multilevel_roi_align_trainable(features, boxes, strides, output_size):
+    """Differentiable ROIAlign: the Pallas window kernel runs the forward;
+    the backward recomputes through the (differentiable) XLA gather
+    formulation — fast inference-grade forward inside the training step,
+    exact scatter-add gradients."""
+    return multilevel_roi_align_pallas(list(features), boxes, strides,
+                                       output_size)
+
+
+def _mra_fwd(features, boxes, strides, output_size):
+    out = multilevel_roi_align_pallas(list(features), boxes, strides,
+                                      output_size)
+    return out, (tuple(features), boxes)
+
+
+def _mra_bwd(strides, output_size, res, g):
+    features, boxes = res
+    _, vjp = jax.vjp(
+        lambda f, b: _xla_multilevel(f, b, strides, output_size),
+        features, boxes)
+    gf, gb = vjp(g)
+    gf = tuple(x.astype(f.dtype) for x, f in zip(gf, features))
+    return gf, gb
+
+
+multilevel_roi_align_trainable.defvjp(_mra_fwd, _mra_bwd)

@@ -89,3 +89,28 @@ def test_zero_area_and_edge_boxes_are_finite():
     got = RP.multilevel_roi_align_pallas(
         list(feats), boxes, (4, 8, 16, 32), 7)
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_trainable_vjp_matches_xla_grads():
+    """Custom-VJP wrapper: Pallas forward + XLA backward must produce the
+    same feature gradients as differentiating the pure XLA path."""
+    rng = np.random.RandomState(4)
+    feats = tuple(make_feats(rng, c=8))
+    x0 = rng.uniform(0, 150, 5)
+    y0 = rng.uniform(0, 100, 5)
+    sz = rng.uniform(20, 60, 5)
+    boxes = jnp.asarray(
+        np.stack([x0, y0, x0 + sz, y0 + sz], -1)[None].astype(np.float32))
+
+    def loss_pallas(fs):
+        out = RP.multilevel_roi_align_trainable(fs, boxes, (4, 8, 16, 32), 7)
+        return (out ** 2).sum()
+
+    def loss_xla(fs):
+        return (RP._xla_multilevel(list(fs), boxes, (4, 8, 16, 32), 7)
+                ** 2).sum()
+
+    g_p = jax.grad(loss_pallas)(feats)
+    g_x = jax.grad(loss_xla)(feats)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
