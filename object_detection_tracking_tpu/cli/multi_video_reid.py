@@ -19,9 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 
-import numpy as np
 
 from ..models.reid import FeatureExtractor
 from ..reid.cameras import compute_c1_to_c2_homography, parse_camera_file

@@ -11,7 +11,6 @@ import argparse
 import json
 import os
 
-import numpy as np
 
 from ..data import open_video
 from ..utils.viz import draw_boxes

@@ -8,7 +8,7 @@ TP/num_gt (computeAR_2). Boxes are COCO xywh on the host.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

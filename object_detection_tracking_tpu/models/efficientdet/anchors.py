@@ -8,7 +8,7 @@ note the y-first ordering, opposite of the Faster-RCNN path.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import jax.numpy as jnp

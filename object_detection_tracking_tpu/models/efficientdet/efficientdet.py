@@ -9,11 +9,10 @@ ROIAlign for tracking features).
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ...ops.boxes import clip_boxes
 from ...ops.nms import nms
@@ -88,7 +87,7 @@ class EfficientDet:
         params: Dict = {"backbone": init_efficientnet(r_bb,
                                                       self.backbone_name)}
         # channel-matching 1x1s for backbone feats + extra P6/P7 resamples
-        from .efficientnet import scaled_block_args, SCALING, round_filters
+        from .efficientnet import scaled_block_args
         args = scaled_block_args(self.backbone_name)
         c3, c4, c5 = args[2][4], args[4][4], args[6][4]
         rs = jax.random.split(r_resample, 6)

@@ -10,7 +10,7 @@ reduction endpoints for the BiFPN.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

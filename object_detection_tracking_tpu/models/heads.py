@@ -14,7 +14,6 @@ import jax.numpy as jnp
 
 from typing import Optional
 
-from ..ops.norm import init_gn, group_norm
 from .layers import conv2d, deconv2d, dense, init_conv, init_dense
 
 

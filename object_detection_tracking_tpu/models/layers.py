@@ -11,11 +11,9 @@ choice: params live in f32; ``cast`` views them in bf16 for the conv path.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _pair(p):

@@ -9,8 +9,7 @@ masked) so it compiles once; torch .pth checkpoints are converted on load
 
 from __future__ import annotations
 
-import math
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

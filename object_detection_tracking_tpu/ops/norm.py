@@ -9,7 +9,6 @@ GroupNorm matches nn.py:81 (32 groups, eps=1e-5).
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 BN_EPS = 1e-5
 GN_EPS = 1e-5

@@ -19,7 +19,6 @@ all ROIs, no dynamic shapes, no host sync.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax

@@ -11,10 +11,9 @@ Parallelism mapping (SURVEY.md §2.7 -> TPU):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

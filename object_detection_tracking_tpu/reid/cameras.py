@@ -8,7 +8,6 @@ standard plane-induced homography for the z=0 ground plane.
 from __future__ import annotations
 
 import json
-from typing import Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ Tracks from synchronized cameras are compared pairwise:
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict
 
 import numpy as np
 

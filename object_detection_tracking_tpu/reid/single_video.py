@@ -14,7 +14,7 @@ end/start are close in time and space and whose ReID features match:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List
 
 import numpy as np
 

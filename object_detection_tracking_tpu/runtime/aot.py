@@ -14,7 +14,7 @@ The XLA-native equivalents here:
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional
 
 import jax
 

@@ -12,7 +12,7 @@ per batch, so the pipeline bottleneck is max(decode, H2D, compute).
 from __future__ import annotations
 
 from collections import deque
-from typing import Callable, Dict, Iterable, Iterator, Optional, Tuple
+from typing import Dict, Iterable, Iterator, Tuple
 
 import jax
 import numpy as np

@@ -6,7 +6,7 @@ falling back to scipy."""
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Tuple
+from typing import Callable
 
 import numpy as np
 

@@ -10,7 +10,7 @@ import numpy as np
 
 from ..kalman import KalmanFilter
 from . import iou_matching, linear_assignment
-from .track import Track, TrackState
+from .track import Track
 
 
 class Tracker:

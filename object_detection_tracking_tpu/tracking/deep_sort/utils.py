@@ -7,7 +7,7 @@ Reference deep_sort/utils.py: create_obj_infos (:5-44), linear_inter_bbox
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 

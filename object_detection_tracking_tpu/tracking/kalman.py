@@ -8,7 +8,6 @@ measurement noise scaled by box height. Includes a batched ``multi_predict``
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 import scipy.linalg

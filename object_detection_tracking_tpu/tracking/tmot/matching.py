@@ -10,7 +10,7 @@ Quirks preserved because downstream thresholds were tuned against them:
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -8,7 +8,7 @@ loss; huber delta 1/9 with the reference's ``/delta`` rescale for RPN).
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ slots carry valid=False and drop out of every loss term.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ Layout notes:
 
 from __future__ import annotations
 
-import os
-import re
 from typing import Dict, Tuple
 
 import jax

@@ -1,0 +1,77 @@
+"""DetectionRunner pipeline: ordering, packing roundtrip, mask mode."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from object_detection_tracking_tpu.runtime.runner import DetectionRunner
+
+
+class FakeConfig:
+    add_mask = False
+
+
+class FakeModel:
+    """Deterministic 'detector': encodes the batch mean into outputs."""
+
+    config = FakeConfig()
+
+    def forward(self, params, images):
+        b = images.shape[0]
+        r, c = 4, 8
+        val = images.reshape(b, -1).mean(axis=1).astype(jnp.float32)
+        boxes = jnp.tile(val[:, None, None], (1, r, 4))
+        labels = jnp.ones((b, r), jnp.int32)
+        probs = jnp.tile(val[:, None] / 255.0, (1, r))
+        valid = jnp.ones((b, r), bool)
+        feat = jnp.tile(val[:, None, None], (1, r, c))
+        return {
+            "final_boxes": boxes,
+            "final_labels": labels,
+            "final_probs": probs,
+            "final_valid": valid,
+            "pooled_box_feat": feat,
+        }
+
+
+def test_runner_order_and_roundtrip():
+    model = FakeModel()
+    runner = DetectionRunner(model, params={}, depth=2)
+    rng = np.random.RandomState(0)
+    batches = [(rng.randint(0, 255, (2, 8, 8, 3)).astype(np.uint8), i)
+               for i in range(7)]
+    metas = []
+    for host, meta in runner.run(iter(batches)):
+        metas.append(meta)
+        want = batches[meta][0].reshape(2, -1).mean(axis=1)
+        np.testing.assert_allclose(host["final_boxes"][:, 0, 0], want,
+                                   rtol=1e-5)
+        assert host["final_labels"].dtype == np.int32
+        assert host["final_valid"].dtype == bool
+        assert host["pooled_box_feat"].shape == (2, 4, 8)
+    assert metas == list(range(7))  # order preserved through the pipeline
+
+
+def test_runner_empty_iterator():
+    runner = DetectionRunner(FakeModel(), params={}, depth=2)
+    assert list(runner.run(iter([]))) == []
+
+
+def test_runner_mask_mode_unpack():
+    class MaskConfig:
+        add_mask = True
+
+    class MaskModel(FakeModel):
+        config = MaskConfig()
+
+        def forward(self, params, images):
+            out = super().forward(params, images)
+            b = images.shape[0]
+            out["final_masks"] = jnp.full((b, 4, 28, 28), 0.75)
+            return out
+
+    runner = DetectionRunner(MaskModel(), params={}, depth=1)
+    batches = [(np.zeros((1, 8, 8, 3), np.uint8), 0)]
+    (host, meta), = list(runner.run(iter(batches)))
+    assert host["final_masks"].shape == (1, 4, 28, 28)
+    np.testing.assert_allclose(host["final_masks"], 0.75)
+    assert host["pooled_box_feat"].shape == (1, 4, 8)
