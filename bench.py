@@ -73,7 +73,7 @@ def main():
         resnet_depth=50, short_edge_size=720, max_size=1280)
     model = get_model(cfg, "faster_rcnn")
     params = model.init_params(jax.random.PRNGKey(0))
-    runner = DetectionRunner(model, params, depth=3)
+    runner = DetectionRunner(model, params, depth=2)
 
     classid2name = cfg.classid2name
     coco_map = dict(coco_obj_to_actev_obj)

@@ -200,9 +200,13 @@ class EfficientDet:
             box_outs.append(_sep_conv(hp["predict"], x))
         return cls_outs, box_outs
 
-    def _postprocess_single(self, cls_flat, box_flat, anchors_flat, hw):
+    def _postprocess_single(self, cls_flat, box_flat, anchors_flat,
+                            anchor_levels, hw):
         """One image: sigmoid scores, global top-k pre-select, decode,
-        per-class NMS to result_per_im (efficientdet_wrapper.py:367-487)."""
+        per-class NMS to result_per_im (efficientdet_wrapper.py:367-487).
+        Each detection's *source anchor level* is carried through so the
+        tracking-feature ROIAlign pools from the level that produced it
+        (efficientdet_wrapper.py:265-301)."""
         cfg = self.config
         r = cfg.result_per_im
         scores_all = jax.nn.sigmoid(cls_flat)          # [N, C]
@@ -210,6 +214,7 @@ class EfficientDet:
         k = min(2000, best.shape[0])
         _, top_i = jax.lax.top_k(best, k)
         scores = scores_all[top_i]                     # [k, C]
+        levels = anchor_levels[top_i]                  # [k]
         boxes = decode_effdet_boxes(box_flat[top_i], anchors_flat[top_i])
         boxes = clip_boxes(boxes, hw)
 
@@ -219,26 +224,32 @@ class EfficientDet:
         kc = min(2 * r, k)
         cls_scores, cls_idx = jax.lax.top_k(scores.T, kc)     # [C, kc]
         cls_boxes = boxes[cls_idx]                             # [C, kc, 4]
+        cls_lvls = levels[cls_idx]                             # [C, kc]
         valid = cls_scores > cfg.result_score_thres
 
-        def one_class(b, s, v):
+        def one_class(b, s, lv, v):
             idx, val = nms(b, s, r, cfg.fastrcnn_nms_iou_thres, valid=v)
             idx_c = jnp.maximum(idx, 0)
             return (jnp.where(val[:, None], b[idx_c], 0.0),
-                    jnp.where(val, s[idx_c], -1e30), val)
+                    jnp.where(val, s[idx_c], -1e30),
+                    jnp.where(val, lv[idx_c], 0), val)
 
-        cb, cp, cv = jax.vmap(one_class)(cls_boxes, cls_scores, valid)
+        cb, cp, cl, cv = jax.vmap(one_class)(cls_boxes, cls_scores,
+                                             cls_lvls, valid)
 
         flat_p = cp.reshape(-1)
         flat_v = cv.reshape(-1)
         flat_b = cb.reshape(-1, 4)
+        flat_l = cl.reshape(-1)
         top_p, top_idx = jax.lax.top_k(jnp.where(flat_v, flat_p, -1e30), r)
         final_valid = flat_v[top_idx]
         final_boxes = jnp.where(final_valid[:, None], flat_b[top_idx], 0.0)
         final_labels = jnp.where(final_valid,
                                  (top_idx // r).astype(jnp.int32) + 1, 0)
         final_probs = jnp.where(final_valid, top_p, 0.0)
-        return final_boxes, final_labels, final_probs, final_valid
+        final_levels = jnp.where(final_valid, flat_l[top_idx], 0)
+        return (final_boxes, final_labels, final_probs, final_valid,
+                final_levels)
 
     # ------------------------------------------------------------------
 
@@ -269,6 +280,10 @@ class EfficientDet:
         anchors = effdet_anchors((self.image_size, self.image_size))
         anchors_flat = jnp.concatenate(
             [jnp.asarray(a).reshape(-1, 4) for a in anchors], axis=0)
+        import numpy as onp
+        anchor_levels = jnp.asarray(onp.concatenate(
+            [onp.full(a.size // 4, li, onp.int32)
+             for li, a in enumerate(anchors)]))
         cls_flat = jnp.concatenate(
             [c.reshape(b, -1, self.num_classes).astype(jnp.float32)
              for c in cls_outs], axis=1)
@@ -276,24 +291,26 @@ class EfficientDet:
             [bo.reshape(b, -1, 4).astype(jnp.float32) for bo in box_outs],
             axis=1)
 
-        fb, fl, fp, fv = jax.vmap(
+        fb, fl, fp, fv, flv = jax.vmap(
             lambda cf, bf: self._postprocess_single(
-                cf, bf, anchors_flat, (h, w)))(cls_flat, box_flat)
+                cf, bf, anchors_flat, anchor_levels, (h, w)))(
+                    cls_flat, box_flat)
 
-        # level-indexed ROIAlign tracking features over the BiFPN pyramid
-        # (efficientdet_wrapper.py:265-301); strides 8..32 for P3..P5
+        # level-indexed ROIAlign tracking features over the BiFPN pyramid:
+        # each detection pools from its source anchor level
+        # (efficientdet_wrapper.py:265-301); strides 8..128 for P3..P7
         from ...ops.pallas import multilevel_roi_align_pallas
         from ...ops.roi_align import multilevel_roi_align
+        strides = tuple(2 ** (MIN_LEVEL + i) for i in range(5))
         if cfg.roi_align_impl == "pallas":
             box_feat = multilevel_roi_align_pallas(
-                [feats[0], feats[1], feats[2], feats[3]], fb,
-                (8, 16, 32, 64), 7)
+                list(feats), fb, strides, 7, levels=flv)
         else:
-            f32 = [f.astype(jnp.float32) for f in feats[:4]]
+            f32 = [f.astype(jnp.float32) for f in feats]
             box_feat = jax.vmap(
-                lambda f3, f4, f5, f6, bx: multilevel_roi_align(
-                    [f3, f4, f5, f6], bx, (8, 16, 32, 64), 7)
-            )(f32[0], f32[1], f32[2], f32[3], fb)
+                lambda f3, f4, f5, f6, f7, bx, lv: multilevel_roi_align(
+                    [f3, f4, f5, f6, f7], bx, strides, 7, levels=lv)
+            )(*f32, fb, flv)
 
         return {
             "final_boxes": fb,

@@ -203,7 +203,8 @@ def _roi_align_packed(packed: jnp.ndarray, meta_i: jnp.ndarray,
 def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
                                 boxes: jnp.ndarray,
                                 strides: Sequence[int],
-                                output_size: int) -> jnp.ndarray:
+                                output_size: int,
+                                levels: jnp.ndarray = None) -> jnp.ndarray:
     """Batched FPN ROIAlign. features: list of [B, H_l, W_l, C] (p2..p5);
     boxes [B, N, 4] image-coord x1y1x2y2. Returns [B, N, P, P, C] f32."""
     from ..roi_align import fpn_map_rois_to_levels
@@ -228,7 +229,10 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     packed = jnp.stack(padded, axis=1).reshape(b * L, hmax, wmax, c_pad)
 
     flat_boxes = boxes.reshape(b * n, 4)
-    lvl = fpn_map_rois_to_levels(flat_boxes)
+    if levels is None:
+        lvl = fpn_map_rois_to_levels(flat_boxes)
+    else:
+        lvl = levels.reshape(b * n).astype(jnp.int32)
     lvl = jnp.clip(lvl, 0, L - 1)
     img = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
     group = img * L + lvl

@@ -135,7 +135,7 @@ def pack_fpn_levels(features: Sequence[jnp.ndarray]) -> jnp.ndarray:
 
 def multilevel_roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
                          strides: Sequence[int], output_size: int,
-                         valid_hws=None) -> jnp.ndarray:
+                         valid_hws=None, levels=None) -> jnp.ndarray:
     """FPN ROIAlign over packed levels with a single gather pass.
 
     features: list of [H_l, W_l, C] maps (p2..p5), image stride strides[l].
@@ -151,7 +151,10 @@ def multilevel_roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     _, hmax, wmax, _ = packed.shape
     flat = packed.reshape(L * hmax * wmax, C)
 
-    lvl = fpn_map_rois_to_levels(boxes)         # [N] in 0..L-1
+    if levels is None:
+        lvl = fpn_map_rois_to_levels(boxes)     # [N] in 0..L-1
+    else:
+        lvl = levels.astype(jnp.int32)          # caller-provided source level
     lvl = jnp.clip(lvl, 0, L - 1)
     stride_arr = jnp.asarray(strides, jnp.float32)[lvl]   # [N]
     fboxes = boxes / stride_arr[:, None]
