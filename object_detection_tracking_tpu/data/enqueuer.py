@@ -24,6 +24,19 @@ from .video import VideoReader
 
 _SENTINEL = object()
 
+# fork-shared dataset for the process-pool path (reference enqueuer.py's
+# keras-derived shared-dataset globals, enqueuer.py:235-280)
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_get_sample(i):
+    return _WORKER_DATASET.get_sample(i)
+
 
 class VideoEnqueuer:
     """Decode thread: read frame -> skip by frame_gap -> resize to
@@ -135,13 +148,17 @@ class DatasetEnqueuer:
     ``collect_batch(samples)``."""
 
     def __init__(self, dataset, prefetch: int = 5, num_workers: int = 1,
-                 start: bool = True):
+                 start: bool = True, use_process: bool = False):
         self.dataset = dataset
         self.batch_size = getattr(dataset, "batch_size", 1)
         self.queue: "queue.Queue" = queue.Queue(
             maxsize=prefetch * max(self.batch_size, 1))
         self._stop = threading.Event()
         self.num_workers = max(1, num_workers)
+        # multiprocessing workers (reference enqueuer.py's process pool);
+        # threads are the default — cv2 releases the GIL, and this keeps
+        # the dataset shareable without pickling
+        self.use_process = use_process
         self.threads: List[threading.Thread] = []
         if start:
             self.start()
@@ -154,7 +171,16 @@ class DatasetEnqueuer:
     def _run(self):
         try:
             n = self.dataset.num_samples
-            if self.num_workers > 1:
+            if self.num_workers > 1 and self.use_process:
+                import multiprocessing
+                ctx = multiprocessing.get_context("fork")
+                with ctx.Pool(self.num_workers, initializer=_init_worker,
+                              initargs=(self.dataset,)) as pool:
+                    for sample in pool.imap(_worker_get_sample, range(n)):
+                        if self._stop.is_set():
+                            break
+                        self.queue.put(sample)
+            elif self.num_workers > 1:
                 from multiprocessing.pool import ThreadPool
                 pool = ThreadPool(self.num_workers)
                 for sample in pool.imap(self.dataset.get_sample, range(n)):

@@ -45,7 +45,7 @@ class DetectionTrainDataset:
                  classname2id: Dict[str, int], short_edge_size: int,
                  max_size: int, batch_size: int = 1, max_gt: int = 100,
                  shuffle: bool = True, seed: int = 0,
-                 flip_prob: float = 0.5):
+                 flip_prob: float = 0.5, use_mixup: bool = False):
         with open(lst_file) as f:
             names = [l.strip() for l in f if l.strip()]
         self.samples = []
@@ -62,6 +62,9 @@ class DetectionTrainDataset:
         self.max_gt = max_gt
         self.shuffle = shuffle
         self.flip_prob = flip_prob
+        # mixup (reference models.py get_feed_dict mixup branch): blend two
+        # frames with a Beta(1.5, 1.5) weight and take the union of boxes
+        self.use_mixup = use_mixup
         self.rng = random.Random(seed)
         self.num_samples = len(self.samples)
 
@@ -107,6 +110,19 @@ class DetectionTrainDataset:
                     flip = self.shuffle and \
                         self.rng.random() < self.flip_prob
                     im, b, l = self._load_one(*self.samples[i], flip)
+                    if self.use_mixup:
+                        j = self.rng.randrange(self.num_samples)
+                        im2, b2, l2 = self._load_one(*self.samples[j], flip)
+                        lam = self.rng.betavariate(1.5, 1.5)
+                        hmin = min(im.shape[0], im2.shape[0])
+                        wmin = min(im.shape[1], im2.shape[1])
+                        im = im[:hmin, :wmin]
+                        im2 = im2[:hmin, :wmin]
+                        im = (lam * im.astype(np.float32) +
+                              (1 - lam) * im2.astype(np.float32)
+                              ).astype(np.uint8)
+                        b = np.concatenate([b, b2], axis=0)
+                        l = np.concatenate([l, l2], axis=0)
                     ims.append(im)
                     gts.append(b)
                     labs.append(l)

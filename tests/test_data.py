@@ -64,3 +64,39 @@ def test_image_dataset_enqueuer(tmp_path):
     names = [n for b in batches for n in b["img_names"]]
     assert names == [f"im{i}.jpg" for i in range(5)]  # order preserved
     assert batches[0]["imgs"].shape == (2, 20, 30, 3)
+
+
+def test_dataset_enqueuer_process_pool(tmp_path):
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"pp{i}.jpg")
+        cv2.imwrite(p, np.full((20, 30, 3), i * 50, np.uint8))
+        paths.append(p)
+    ds = ImageDataset(paths, short_edge_size=20, max_size=30, batch_size=2)
+    enq = DatasetEnqueuer(ds, prefetch=2, num_workers=2, use_process=True)
+    batches = list(enq.get())
+    names = [n for b in batches for n in b["img_names"]]
+    assert names == [f"pp{i}.jpg" for i in range(4)]
+
+
+def test_training_dataset_mixup(tmp_path):
+    from object_detection_tracking_tpu.data.training import (
+        DetectionTrainDataset)
+    names = []
+    for i in range(4):
+        name = "v_F_%08d" % i
+        cv2.imwrite(str(tmp_path / f"{name}.jpg"),
+                    np.full((40, 60, 3), 60 + i * 40, np.uint8))
+        np.savez(str(tmp_path / f"{name}.npz"),
+                 boxes=np.array([[5, 5, 25, 25]], np.float32),
+                 labels=np.array(["Person"]))
+        names.append(name + ".jpg")
+    lst = tmp_path / "t.lst"
+    lst.write_text("\n".join(names))
+    ds = DetectionTrainDataset(
+        str(lst), str(tmp_path), str(tmp_path), {"BG": 0, "Person": 1},
+        40, 60, batch_size=2, max_gt=8, use_mixup=True, flip_prob=0.0)
+    images, gt_boxes, gt_labels, gt_valid = next(ds.batches())
+    # mixup doubles the gt per image (union of two frames' boxes)
+    assert gt_valid.sum(axis=1).tolist() == [2, 2]
+    assert images.dtype == np.uint8
