@@ -87,6 +87,11 @@ def get_args(argv=None):
     parser.add_argument("--save_util_log_to", default=None)
     parser.add_argument("--use_my_naming", action="store_true")
     parser.add_argument("--test_frame_extraction", action="store_true")
+    parser.add_argument("--visualize", action="store_true",
+                        help="write detection-drawn frames (forces bgr "
+                        "pixel format)")
+    parser.add_argument("--vis_path", default="/tmp/vis")
+    parser.add_argument("--vis_thres", type=float, default=0.7)
     parser.add_argument("--prefetch", type=int, default=10)
     parser.add_argument("--pixel_format", default="auto",
                         choices=["auto", "bgr", "i420"],
@@ -166,18 +171,21 @@ def process_video(args, cfg, runner, video_path, classid2name,
         os.makedirs(video_out_path, exist_ok=True)
 
     # cfg carries the derived sizes (e.g. EfficientDet fit-to-square)
+    pixel_format = "bgr" if args.visualize else args.pixel_format
     enq = VideoEnqueuer(vcap, cfg.short_edge_size, cfg.max_size,
                         frame_gap=args.frame_gap,
                         batch_size=args.im_batch_size,
                         prefetch=args.prefetch, pad_last_batch=True,
-                        pixel_format=args.pixel_format)
+                        pixel_format=pixel_format)
 
     def batch_iter():
         for imgs, scale, frame_idxs in enq.get():
-            yield imgs, (scale, frame_idxs)
+            frames = imgs if args.visualize else None
+            yield imgs, (scale, frame_idxs, frames)
 
     frames_done = 0
-    for host_out, (scale, frame_idxs) in runner.run(batch_iter()):
+    vis_count = 0
+    for host_out, (scale, frame_idxs, frames) in runner.run(batch_iter()):
         for bi, cur_frame in enumerate(frame_idxs):
             if cur_frame < 0:
                 continue  # last-batch padding
@@ -220,6 +228,21 @@ def process_video(args, cfg, runner, video_path, classid2name,
                                   classid2name,
                                   masks[bi] if masks is not None else None,
                                   enq.orig_hw)
+
+            if args.visualize and frames is not None:
+                import cv2
+                from ..utils.viz import draw_boxes
+                good = valid & (probs >= args.vis_thres)
+                vis_boxes = boxes[good]
+                vis_labels = ["%s_%.2f" % (classid2name.get(int(l), "?"), p)
+                              for l, p in zip(labels[good], probs[good])]
+                newim = draw_boxes(frames[bi], vis_boxes, vis_labels)
+                os.makedirs(os.path.join(args.vis_path, videoname),
+                            exist_ok=True)
+                cv2.imwrite(os.path.join(
+                    args.vis_path, videoname,
+                    "%s_F_%08d.jpg" % (videoname, vis_count)), newim)
+                vis_count += 1
 
     if args.get_tracking:
         for obj in tracking_objs:
