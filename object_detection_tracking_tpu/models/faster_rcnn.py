@@ -254,6 +254,61 @@ class FasterRCNNFPN:
         top_scores, top_idx = jax.lax.top_k(scores, k)
         return boxes[top_idx], valid[top_idx]
 
+    def _so_core(self, params, dec, prb, valid, feats):
+        """One image's SO machinery (shared by inference and training):
+        per-SO-class NMS of the decoded boxes, re-ROIAlign through the
+        shared fc6/fc7, optional person-object relation, per-class 2-way
+        logits. Returns (so_boxes [C, R, 4], so_valid [C, R],
+        so_logits [C, R, 2])."""
+        cfg = self.config
+        r = cfg.result_per_im
+        so_ids = [cfg.classname2id[n] - 1 for n in cfg.small_objects
+                  if n in cfg.classname2id]
+        n_so = len(so_ids)
+        person_id = cfg.classname2id.get("Person", 1) - 1
+        sop = params["small_objects"]
+
+        def roi_head(boxes):
+            rf = multilevel_roi_align(
+                [x.astype(jnp.float32) for x in feats], boxes,
+                cfg.anchor_strides[:4], 7)
+            hp = params["fastrcnn"]
+            hid = jax.nn.relu(heads_lib.dense(hp["fc6"], rf))
+            return jax.nn.relu(heads_lib.dense(hp["fc7"], hid))
+
+        so_boxes, so_valid = [], []
+        for c in so_ids:
+            idx, val = nms(dec[:, c], prb[:, c + 1], r,
+                           cfg.fastrcnn_nms_iou_thres, valid=valid)
+            idx_c = jnp.maximum(idx, 0)
+            so_boxes.append(jnp.where(val[:, None], dec[idx_c, c], 0.0))
+            so_valid.append(val)
+        so_boxes = jnp.stack(so_boxes)       # [C, R, 4]
+        so_valid = jnp.stack(so_valid)       # [C, R]
+
+        hidden = roi_head(so_boxes.reshape(-1, 4))
+        hidden = hidden.reshape(n_so, r, -1)
+
+        if cfg.use_so_association:
+            from .relation import person_object_relation
+            pidx, pval = nms(dec[:, person_id], prb[:, person_id + 1],
+                             cfg.so_person_topk,
+                             cfg.fastrcnn_nms_iou_thres, valid=valid)
+            pidx_c = jnp.maximum(pidx, 0)
+            ref_boxes = jnp.where(pval[:, None],
+                                  dec[pidx_c, person_id], 0.0)
+            ref_feat = roi_head(ref_boxes)
+            hidden = jnp.stack([
+                hidden[i] + person_object_relation(
+                    sop["person_object_relation"], hidden[i],
+                    so_boxes[i], ref_boxes, ref_feat)
+                for i in range(n_so)])
+
+        so_logits = jnp.stack([
+            heads_lib.dense(sop[f"small_object_classification_c{i+1}"],
+                            hidden[i]) for i in range(n_so)])  # [C, R, 2]
+        return so_boxes, so_valid, so_logits
+
     def _small_object_outputs(self, params, p23456, decoded, probs,
                               prop_valid, h: int, w: int):
         """Small-object 2-class refinement heads with optional person-object
@@ -265,55 +320,11 @@ class FasterRCNNFPN:
         predictions. Returns so_final_* [B, R, ...] outputs."""
         cfg = self.config
         r = cfg.result_per_im
-        so_ids = [cfg.classname2id[n] - 1 for n in cfg.small_objects
-                  if n in cfg.classname2id]
-        n_so = len(so_ids)
-        person_id = cfg.classname2id.get("Person", 1) - 1
-        sop = params["small_objects"]
+        n_so = len([n for n in cfg.small_objects if n in cfg.classname2id])
 
         def one_image(dec, prb, valid, f2, f3, f4, f5):
-            feats = (f2, f3, f4, f5)
-
-            def roi_head(boxes):
-                rf = multilevel_roi_align(
-                    [x.astype(jnp.float32) for x in feats], boxes,
-                    cfg.anchor_strides[:4], 7)
-                hp = params["fastrcnn"]
-                hid = jax.nn.relu(heads_lib.dense(hp["fc6"], rf))
-                return jax.nn.relu(heads_lib.dense(hp["fc7"], hid))
-
-            so_boxes, so_scores, so_valid = [], [], []
-            for c in so_ids:
-                idx, val = nms(dec[:, c], prb[:, c + 1], r,
-                               cfg.fastrcnn_nms_iou_thres, valid=valid)
-                idx_c = jnp.maximum(idx, 0)
-                so_boxes.append(jnp.where(val[:, None], dec[idx_c, c], 0.0))
-                so_scores.append(jnp.where(val, prb[idx_c, c + 1], 0.0))
-                so_valid.append(val)
-            so_boxes = jnp.stack(so_boxes)       # [C, R, 4]
-            so_valid = jnp.stack(so_valid)       # [C, R]
-
-            hidden = roi_head(so_boxes.reshape(-1, 4))
-            hidden = hidden.reshape(n_so, r, -1)
-
-            if cfg.use_so_association:
-                from .relation import person_object_relation
-                pidx, pval = nms(dec[:, person_id], prb[:, person_id + 1],
-                                 cfg.so_person_topk,
-                                 cfg.fastrcnn_nms_iou_thres, valid=valid)
-                pidx_c = jnp.maximum(pidx, 0)
-                ref_boxes = jnp.where(pval[:, None],
-                                      dec[pidx_c, person_id], 0.0)
-                ref_feat = roi_head(ref_boxes)
-                hidden = jnp.stack([
-                    hidden[i] + person_object_relation(
-                        sop["person_object_relation"], hidden[i],
-                        so_boxes[i], ref_boxes, ref_feat)
-                    for i in range(n_so)])
-
-            so_logits = jnp.stack([
-                heads_lib.dense(sop[f"small_object_classification_c{i+1}"],
-                                hidden[i]) for i in range(n_so)])  # [C,R,2]
+            so_boxes, so_valid, so_logits = self._so_core(
+                params, dec, prb, valid, (f2, f3, f4, f5))
 
             # reconstruct [R, C+1] label logits (models.py:865-880)
             bg = so_logits[:, :, 0].mean(axis=0)
@@ -636,5 +647,56 @@ class FasterRCNNFPN:
 
         losses = {k: v.mean() for k, v in
                   {**rpn_loss, **frcnn_loss}.items()}
+
+        if cfg.use_small_object_head and "small_objects" in params:
+            losses["so_label_loss"] = self._so_train_loss(
+                params, p23456, roi_boxes, samples["valid"], label_out,
+                box_out, gt_boxes, gt_labels, gt_valid, h, w)
+
         losses["total_loss"] = sum(losses.values())
         return losses
+
+    def _so_train_loss(self, params, p23456, roi_boxes, roi_valid,
+                       label_out, box_out, gt_boxes, gt_labels, gt_valid,
+                       h, w):
+        """Small-object head training loss (models.py:735-749 +
+        get_so_labels, nn.py:1176-1223): rebuild the SO candidate boxes
+        from the current head predictions, label each fg/bg by IOU >=
+        fastrcnn_fg_thres against that SO class's gt, mean CE."""
+        from ..ops.boxes import pairwise_iou
+        from ..train.losses import softmax_ce
+        cfg = self.config
+        so_names = [n for n in cfg.small_objects if n in cfg.classname2id]
+        so_cids = [cfg.classname2id[n] for n in so_names]
+
+        reg_w = jnp.asarray(cfg.fastrcnn_bbox_reg_weights, jnp.float32)
+        box_full = box_out
+        if cfg.use_frcnn_class_agnostic:
+            box_full = jnp.broadcast_to(
+                box_out, box_out.shape[:2] + (cfg.num_class - 1, 4))
+        decoded = decode_boxes(box_full / reg_w, roi_boxes[:, :, None, :],
+                               cfg.bbox_decode_clip)
+        decoded = clip_boxes(decoded, (h, w))
+        probs = jax.nn.softmax(label_out, axis=-1)
+
+        def one_image(dec, prb, valid, f2, f3, f4, f5, gt_b, gt_l, gt_v):
+            so_boxes, so_valid, so_logits = self._so_core(
+                params, dec, prb, valid, (f2, f3, f4, f5))
+            total = 0.0
+            for i, cid in enumerate(so_cids):
+                cls_gt = gt_v & (gt_l == cid)
+                iou = pairwise_iou(so_boxes[i], gt_b)        # [R, G]
+                iou = jnp.where(cls_gt[None, :], iou, 0.0)
+                lab = (iou.max(axis=1) >=
+                       cfg.fastrcnn_fg_thres).astype(jnp.int32)
+                ce = softmax_ce(so_logits[i].astype(jnp.float32), lab)
+                n_valid = jnp.maximum(so_valid[i].sum(), 1)
+                total = total + jnp.where(so_valid[i], ce, 0.0).sum() \
+                    / n_valid
+            return total / len(so_cids)
+
+        feat32 = [p for p in p23456[:4]]
+        per_img = jax.vmap(one_image)(
+            decoded, probs, roi_valid, *feat32, gt_boxes, gt_labels,
+            gt_valid)
+        return per_img.mean()
