@@ -100,3 +100,76 @@ def test_training_dataset_mixup(tmp_path):
     # mixup doubles the gt per image (union of two frames' boxes)
     assert gt_valid.sum(axis=1).tolist() == [2, 2]
     assert images.dtype == np.uint8
+
+
+def test_video_reader_frame_integrity(tmp_path):
+    """diva_io test.py equivalent: every read() must advance exactly one
+    frame and the total must match the container metadata (the reference
+    checks frame.frame_id == i over pathological AVIs; synthetic mp4s +
+    content-stamped frames here)."""
+    path = str(tmp_path / "integrity.mp4")
+    n = 40
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+    for i in range(n):
+        frame = np.zeros((48, 64, 3), np.uint8)
+        # stamp the frame index into a solid block (survives compression)
+        frame[:, :, 0] = i * 6
+        vw.write(frame)
+    vw.release()
+    vcap = open_video(path)
+    assert vcap.num_frames == n
+    count = 0
+    for i, frame in enumerate(vcap):
+        stamped = int(round(frame[:, :, 0].mean() / 6.0))
+        assert abs(stamped - i) <= 1, (i, stamped)   # codec noise tolerance
+        count += 1
+    assert count == n
+
+
+def test_video_reader_grab_parity(tmp_path):
+    """grab() must advance the stream identically to read()."""
+    path = str(tmp_path / "grab.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+    for i in range(20):
+        vw.write(np.full((48, 64, 3), i * 12, np.uint8))
+    vw.release()
+    v1, v2 = open_video(path), open_video(path)
+    for _ in range(7):
+        v1.read()
+        v2.grab()
+    f1 = v1.read()[1]
+    f2 = v2.read()[1]
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_coco_train_dataset(tmp_path):
+    from object_detection_tracking_tpu.data.coco import CocoTrainDataset
+    import json
+    # two tiny images + coco json
+    for i in range(2):
+        cv2.imwrite(str(tmp_path / f"im{i}.jpg"),
+                    np.full((40, 60, 3), 100, np.uint8))
+    coco = {
+        "images": [{"id": 1, "file_name": "im0.jpg"},
+                   {"id": 2, "file_name": "im1.jpg"}],
+        "categories": [{"id": 7, "name": "car"}, {"id": 9, "name": "dog"}],
+        "annotations": [
+            {"image_id": 1, "category_id": 7, "bbox": [10, 10, 20, 15],
+             "iscrowd": 0},
+            {"image_id": 1, "category_id": 9, "bbox": [0, 0, 5, 5],
+             "iscrowd": 0},  # unmapped -> dropped
+            {"image_id": 2, "category_id": 7, "bbox": [5, 5, 30, 20],
+             "iscrowd": 0},
+        ],
+    }
+    (tmp_path / "ann.json").write_text(json.dumps(coco))
+    ds = CocoTrainDataset(
+        str(tmp_path / "ann.json"), str(tmp_path),
+        {"BG": 0, "Vehicle": 1}, 40, 60,
+        name_mapping={"car": "Vehicle"}, batch_size=2, max_gt=4,
+        shuffle=False, flip_prob=0.0)
+    assert ds.num_samples == 2
+    images, gt_boxes, gt_labels, gt_valid = next(ds.batches())
+    assert gt_valid.sum() == 2  # one mapped box per image
+    assert set(gt_labels[gt_valid].tolist()) == {1}
+    np.testing.assert_allclose(gt_boxes[0][0], [10, 10, 30, 25])
