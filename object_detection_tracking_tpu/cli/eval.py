@@ -15,7 +15,7 @@ import os
 import numpy as np
 
 from ..class_ids import coco_obj_to_actev_obj
-from ..evaluation import (aggregate_eval, match_dt_gt)
+from ..evaluation import aggregate_eval, evaluate_coco_style, match_dt_gt
 
 DEFAULT_EVAL_TARGET = [
     "Vehicle", "Person", "Construction_Barrier", "Construction_Vehicle",
@@ -39,6 +39,9 @@ def get_args(argv=None):
     parser.add_argument("--skip_not_exist_out", action="store_true")
     parser.add_argument("--eval_target", default=None,
                         help="comma-separated class names")
+    parser.add_argument("--coco_eval", action="store_true",
+                        help="also print COCO-protocol mAP@[.5:.95] "
+                        "(native, pycocotools-free)")
     return parser.parse_args(argv)
 
 
@@ -79,6 +82,7 @@ def main(argv=None):
         eval_target = eval_target + ["Prop_plus_Push_Pulled_Object"]
     eval_target = {one: 1 for one in eval_target}
     e = {one: {} for one in eval_target}
+    coco_images = []
     count_no_out = 0
 
     for filename in files:
@@ -120,6 +124,8 @@ def main(argv=None):
                   for o in anno["labels"]]
         gt = _gather_gt_by_name(anno["boxes"], labels, eval_target)
         match_dt_gt(e, filename, dt, gt, eval_target)
+        if args.coco_eval:
+            coco_images.append((dt, gt))
 
     print("%s/%s out file not exists" % (count_no_out, len(files)))
     aps, ars = aggregate_eval(e, maxDet=100)
@@ -130,6 +136,10 @@ def main(argv=None):
     mean_ap = sum(aps.values()) / len(aps) if aps else 0.0
     mean_ar = sum(ars.values()) / len(ars) if ars else 0.0
     print("mean AP: %.6f, mean AR: %.6f" % (mean_ap, mean_ar))
+    if args.coco_eval:
+        ap_pc, mAP, mAP50 = evaluate_coco_style(coco_images, eval_target)
+        print("COCO-style mAP@[.5:.95]: %.6f  mAP50: %.6f" % (mAP, mAP50))
+        print(",".join(["cocoAP"] + ["%.6f" % ap_pc[c] for c in classes]))
 
 
 if __name__ == "__main__":

@@ -146,3 +146,73 @@ def weighted_average(aps: Dict, ars: Dict,
                 sum(ars[c] * eval_target_weight[c] for c in ars))
     return (sum(aps.values()) / float(len(aps)),
             sum(ars.values()) / float(len(ars)))
+
+
+def compute_ap_101(dm: np.ndarray, total_gt: int) -> float:
+    """COCO-style AP: 101-point interpolated precision over recall
+    (COCOeval's accumulate), for one IOU threshold's global score-sorted
+    match vector."""
+    if total_gt == 0:
+        return 0.0
+    tp = np.asarray(dm) >= 0
+    tp_cum = np.cumsum(tp)
+    fp_cum = np.cumsum(~tp)
+    recall = tp_cum / total_gt
+    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1)
+    # precision envelope (monotone non-increasing from the right)
+    for i in range(len(precision) - 1, 0, -1):
+        precision[i - 1] = max(precision[i - 1], precision[i])
+    out = 0.0
+    for r in np.linspace(0, 1, 101):
+        idx = np.searchsorted(recall, r, side="left")
+        out += precision[idx] if idx < len(precision) else 0.0
+    return out / 101.0
+
+
+def evaluate_coco_style(images, eval_target: Dict,
+                        iou_thresholds=None, maxDet: int = 100):
+    """COCO-protocol mAP over IOU in [.5:.05:.95] (the all-area,
+    maxDets=100 slice of COCOeval — pycocotools is not available in this
+    image, so this is a native implementation).
+
+    images: iterable of (dt_by_class, gt_by_class) dicts as produced by
+    gather_dt / gather_gt. Returns (ap_per_class dict, mAP, mAP50)."""
+    if iou_thresholds is None:
+        iou_thresholds = np.arange(0.5, 0.999, 0.05)
+    per_t = {t: {c: {} for c in eval_target} for t in iou_thresholds}
+    for imgid, (dt, gt) in enumerate(images):
+        for c in eval_target:
+            dts = sorted(dt.get(c, []), key=lambda x: -x[1])[:maxDet]
+            d = [b for b, p in dts]
+            scores = [p for b, p in dts]
+            g = gt.get(c, [])
+            ious = iou_xywh(d, g)
+            for t in iou_thresholds:
+                dm, _ = match_detection(d, g, ious, iou_thres=t)
+                per_t[t][c][imgid] = {
+                    "dscores": scores, "dm": dm, "gt_num": len(g)}
+    ap_per_class = {}
+    ap50_per_class = {}
+    for c in eval_target:
+        aps = []
+        for t in iou_thresholds:
+            e_c = per_t[t][c]
+            if not e_c:
+                continue
+            dscores = np.concatenate(
+                [np.asarray(e_c[i]["dscores"]) for i in e_c] or [np.zeros(0)])
+            order = np.argsort(-dscores, kind="mergesort")
+            dm = np.concatenate(
+                [np.asarray(e_c[i]["dm"]) for i in e_c]
+                or [np.zeros(0)])[order]
+            num_gt = int(np.sum([e_c[i]["gt_num"] for i in e_c]))
+            ap = compute_ap_101(dm, num_gt)
+            aps.append(ap)
+            if abs(t - 0.5) < 1e-9:
+                ap50_per_class[c] = ap
+        ap_per_class[c] = float(np.mean(aps)) if aps else 0.0
+    classes = [c for c in ap_per_class]
+    mAP = float(np.mean([ap_per_class[c] for c in classes])) if classes else 0.0
+    mAP50 = float(np.mean([ap50_per_class.get(c, 0.0) for c in classes])) \
+        if classes else 0.0
+    return ap_per_class, mAP, mAP50

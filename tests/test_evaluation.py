@@ -57,3 +57,29 @@ def test_multi_image_score_sorted_accumulation():
     assert ars["Car"] == 0.5
     ap_avg, ar_avg = E.weighted_average(aps, ars)
     assert ap_avg == aps["Car"]
+
+
+def test_coco_style_perfect_detection():
+    dt = {"Person": [([0, 0, 10, 10], 0.9), ([50, 50, 10, 10], 0.8)]}
+    gt = {"Person": [[0, 0, 10, 10], [50, 50, 10, 10]]}
+    aps, mAP, mAP50 = E.evaluate_coco_style(
+        [(dt, gt)], {"Person": 1})
+    assert mAP == 1.0 and mAP50 == 1.0
+
+
+def test_coco_style_loose_box_drops_at_high_iou():
+    # det overlaps gt with IOU ~0.6: counts at t=0.5/0.55/0.6 only
+    dt = {"Car": [([0, 0, 10, 12], 0.9)]}   # vs gt 10x8 -> IOU 2/3
+    gt = {"Car": [[0, 0, 10, 8]]}
+    aps, mAP, mAP50 = E.evaluate_coco_style([(dt, gt)], {"Car": 1})
+    assert mAP50 == 1.0
+    # IOU = 80/120 = 0.667 -> passes t = .5, .55, .6, .65 -> 4/10 thresholds
+    assert abs(mAP - 0.4) < 1e-6
+
+
+def test_coco_style_fp_penalty():
+    dt = {"Car": [([100, 100, 5, 5], 0.95), ([0, 0, 10, 10], 0.9)]}
+    gt = {"Car": [[0, 0, 10, 10]]}
+    aps, mAP, mAP50 = E.evaluate_coco_style([(dt, gt)], {"Car": 1})
+    # TP at rank 2: 101-pt AP = precision 0.5 over all recall points
+    assert abs(mAP50 - 0.5) < 1e-6
