@@ -76,11 +76,21 @@ def checkpoint_dir(args, best=False):
         args.outbasepath, args.modelname, sub))
 
 
-def save_ckpt(path, params, step):
+def save_ckpt(path, state, step):
+    """Checkpoint the FULL train state — params, optimizer slots, step — so
+    resume continues momentum and the LR schedule (the reference resumes
+    global_step, models.py:277). Optimizer state is stored as a flat leaf
+    dict because optax namedtuples don't round-trip through orbax."""
+    import jax
     import orbax.checkpoint as ocp
-    ckpter = ocp.PyTreeCheckpointer()
-    ckpter.save(os.path.join(path, f"step_{step}"),
-                {"params": params, "step": step}, force=True)
+    payload = {"params": state["params"],
+               "step": np.asarray(step, np.int32)}
+    if state.get("opt") is not None:
+        payload["opt_flat"] = {
+            str(i): leaf
+            for i, leaf in enumerate(jax.tree.leaves(state["opt"]))}
+    ocp.PyTreeCheckpointer().save(
+        os.path.join(path, f"step_{step}"), payload, force=True)
 
 
 def latest_ckpt(path):
@@ -91,14 +101,26 @@ def latest_ckpt(path):
     return os.path.join(path, f"step_{max(steps)}") if steps else None
 
 
-def load_ckpt(path, params):
-    import orbax.checkpoint as ocp
+def load_ckpt(path, params, opt_template=None):
+    """Restore (params, opt_state|None, step) from an orbax checkpoint.
+
+    ``opt_template`` supplies the optax state treedef (its leaf order is
+    the save-time flattening order); old params-only checkpoints restore
+    with opt=None."""
     import jax
-    ckpter = ocp.PyTreeCheckpointer()
-    restored = ckpter.restore(path)
-    loaded = restored["params"]
-    return jax.tree.map(lambda a, b: b.astype(a.dtype), params, loaded), \
-        int(restored.get("step", 0))
+    import orbax.checkpoint as ocp
+    restored = ocp.PyTreeCheckpointer().restore(path)
+    params = jax.tree.map(lambda a, b: b.astype(a.dtype), params,
+                          restored["params"])
+    step = int(restored.get("step", 0))
+    opt = None
+    flat = restored.get("opt_flat")
+    if opt_template is not None and flat is not None:
+        cur = jax.tree.leaves(opt_template)
+        leaves = [np.asarray(flat[str(i)]).astype(np.asarray(c).dtype)
+                  for i, c in enumerate(cur)]
+        opt = jax.tree.unflatten(jax.tree.structure(opt_template), leaves)
+    return params, opt, step
 
 
 def run_eval(args, cfg, model, params) -> float:
@@ -171,9 +193,14 @@ def mode_train(args):
     start_step = 0
     latest = latest_ckpt(checkpoint_dir(args))
     if latest:
-        new_params, start_step = load_ckpt(latest, state["params"])
+        new_params, new_opt, start_step = load_ckpt(
+            latest, state["params"], state["opt"])
         state["params"] = new_params
-        print(f"resumed from {latest} (step {start_step})")
+        if new_opt is not None:
+            state["opt"] = new_opt
+        state["step"] = np.asarray(start_step, np.int32)
+        print(f"resumed from {latest} (step {start_step}, "
+              f"opt {'restored' if new_opt is not None else 'reset'})")
 
     loss_ma = deque(maxlen=400)
     best_ap = -1.0
@@ -194,16 +221,15 @@ def mode_train(args):
                     100 / max(time.time() - t0, 1e-6)))
                 t0 = time.time()
             if step % args.save_every == 0:
-                save_ckpt(checkpoint_dir(args), state["params"], step)
+                save_ckpt(checkpoint_dir(args), state, step)
             if args.vallst and step % args.eval_every == 0:
                 ap = run_eval(args, cfg, model, state["params"])
                 if ap > best_ap:
                     best_ap = ap
-                    save_ckpt(checkpoint_dir(args, best=True),
-                              state["params"], step)
+                    save_ckpt(checkpoint_dir(args, best=True), state, step)
             if step >= total_steps:
                 break
-    save_ckpt(checkpoint_dir(args), state["params"], step)
+    save_ckpt(checkpoint_dir(args), state, step)
     print("done; best AP", best_ap)
 
 
@@ -216,7 +242,7 @@ def mode_test(args):
         if args.load_from.endswith(".npz"):
             params = load_weights(args.load_from, model)
         else:
-            params, _ = load_ckpt(args.load_from, params)
+            params, _, _ = load_ckpt(args.load_from, params)
     run_eval(args, cfg, model, params)
 
 
@@ -231,7 +257,7 @@ def mode_pack(args):
         if args.load_from.endswith(".npz"):
             params = load_weights(args.load_from, model)
         else:
-            params, _ = load_ckpt(args.load_from, params)
+            params, _, _ = load_ckpt(args.load_from, params)
     out_dir = os.path.join(args.outbasepath, args.modelname, "packed")
     os.makedirs(out_dir, exist_ok=True)
     save_npz(os.path.join(out_dir, "params.npz"),

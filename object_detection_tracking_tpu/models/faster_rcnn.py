@@ -561,9 +561,12 @@ class FasterRCNNFPN:
 
     def forward_train(self, params, images: jnp.ndarray,
                       gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
-                      gt_valid: jnp.ndarray, rng) -> Dict[str, jnp.ndarray]:
+                      gt_valid: jnp.ndarray, rng,
+                      gt_masks: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
         """Training losses. images [B, h, w, 3]; gt_boxes [B, G, 4] padded;
-        gt_labels [B, G] int (1..C-1); gt_valid [B, G] bool.
+        gt_labels [B, G] int (1..C-1); gt_valid [B, G] bool; gt_masks
+        optional [B, G, Ms, Ms] box-local rasterized instance masks
+        (enables the Mask-RCNN head loss when config.add_mask).
 
         Replaces the reference's host-side anchor labeling + in-graph
         dynamic sampling (models.py:1468-1627, 3380-3486) with fully
@@ -653,8 +656,52 @@ class FasterRCNNFPN:
                 params, p23456, roi_boxes, samples["valid"], label_out,
                 box_out, gt_boxes, gt_labels, gt_valid, h, w)
 
+        if cfg.add_mask and "maskrcnn" in params and gt_masks is not None:
+            losses["mrcnn_loss"] = self._mask_train_loss(
+                params, p23456, roi_boxes, samples, gt_masks)
+
         losses["total_loss"] = sum(losses.values())
         return losses
+
+    def _mask_train_loss(self, params, p23456, roi_boxes, samples,
+                         gt_masks):
+        """Mask-RCNN training loss (models.py:744-776, 1307-1326): the mask
+        head runs on the fg sample slots only (they are packed first by
+        sample_fastrcnn_targets); 28x28 targets come from resampling each
+        fg row's matched box-local gt mask onto its roi box grid."""
+        from ..train import losses as loss_lib
+        cfg = self.config
+        s = roi_boxes.shape[1]
+        fg_cap = min(int(cfg.fastrcnn_batch_per_im * cfg.fastrcnn_fg_ratio),
+                     s)
+        fg_boxes = roi_boxes[:, :fg_cap]
+        fg_flags = samples["fg"][:, :fg_cap]
+        fg_labels = samples["labels"][:, :fg_cap]
+        fg_gt_idx = samples["fg_gt_idx"][:, :fg_cap]
+        fg_gt_boxes = samples["fg_gt_boxes"][:, :fg_cap]
+        # keep the coordinate map well-conditioned on padded rows
+        unit = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+        safe_gt = jnp.where(fg_flags[..., None], fg_gt_boxes, unit)
+
+        b = fg_boxes.shape[0]
+        mask_feats = self._roi_align_batched(p23456, fg_boxes, 14)
+        mask_logits = heads_lib.maskrcnn_up4conv_head(
+            params["maskrcnn"],
+            mask_feats.reshape(b * fg_cap, 14, 14, cfg.fpn_num_channel
+                               ).astype(jnp.dtype(cfg.compute_dtype)),
+            cfg.num_class).astype(jnp.float32)
+        mask_logits = mask_logits.reshape(b, fg_cap, 28, 28, -1)
+
+        def one_image(logits, labels, fg, gidx, gt_b, rois, masks_im):
+            tgt = jax.vmap(loss_lib.crop_mask_to_roi)(
+                masks_im[gidx].astype(jnp.float32), gt_b, rois)
+            tgt = (tgt >= 0.5).astype(jnp.float32)
+            return loss_lib.maskrcnn_loss(logits, labels, fg, tgt)
+
+        per_img = jax.vmap(one_image)(
+            mask_logits, fg_labels, fg_flags, fg_gt_idx, safe_gt, fg_boxes,
+            gt_masks)
+        return per_img.mean()
 
     def _so_train_loss(self, params, p23456, roi_boxes, roi_valid,
                        label_out, box_out, gt_boxes, gt_labels, gt_valid,

@@ -71,13 +71,17 @@ def make_sharded_train_step(trainer, params, mesh: Mesh):
     raw_step = jax.jit(trainer.make_step_fn(), donate_argnums=(0,))
     data_sh = batch_sharding(mesh)
 
-    def step_fn(state, images, gt_boxes, gt_labels, gt_valid, rng):
+    def step_fn(state, images, gt_boxes, gt_labels, gt_valid, rng,
+                gt_masks=None):
         images = jax.device_put(images, data_sh)
         gt_boxes = jax.device_put(gt_boxes, data_sh)
         gt_labels = jax.device_put(gt_labels, data_sh)
         gt_valid = jax.device_put(gt_valid, data_sh)
         rng = jax.device_put(rng, replicated(mesh))
-        return raw_step(state, images, gt_boxes, gt_labels, gt_valid, rng)
+        if gt_masks is not None:
+            gt_masks = jax.device_put(gt_masks, data_sh)
+        return raw_step(state, images, gt_boxes, gt_labels, gt_valid, rng,
+                        gt_masks)
 
     return state, step_fn
 

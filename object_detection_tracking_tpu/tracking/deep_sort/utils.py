@@ -42,6 +42,12 @@ def create_obj_infos(boxes_xyxy: np.ndarray, labels: np.ndarray,
             continue
         x1, y1, x2, y2 = boxes_xyxy[i] / scale
         tlwh = np.array([x1, y1, x2 - x1, y2 - y1], np.float32)
+        if tlwh[2] <= 0.0 or tlwh[3] <= 0.0:
+            # Degenerate boxes (zero/negative extent) would divide-by-zero
+            # in Detection.to_xyah and poison the Kalman state with NaNs;
+            # the reference only gates height (deep_sort/utils.py:30), we
+            # hard-filter both extents.
+            continue
         if tlwh[3] < min_detection_height:
             continue
         dets.append(Detection(tlwh, conf, feats[i]))

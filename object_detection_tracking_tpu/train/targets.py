@@ -144,4 +144,8 @@ def sample_fastrcnn_targets(rng, proposals: jnp.ndarray,
         "valid": sel_ok,
         "fg": sel_fg,
         "fg_gt_boxes": fg_gt_boxes,
+        # index of the matched gt for fg rows (0 for non-fg) — the mask
+        # head gathers its 28x28 targets with this
+        # (fg rows are packed first: rows [0, batch*fg_ratio) are fg slots)
+        "fg_gt_idx": jnp.where(sel_fg, sel_gt, 0).astype(jnp.int32),
     }

@@ -86,10 +86,12 @@ class Trainer:
     def make_step_fn(self):
         model, tx = self.model, self.tx
 
-        def train_step(state, images, gt_boxes, gt_labels, gt_valid, rng):
+        def train_step(state, images, gt_boxes, gt_labels, gt_valid, rng,
+                       gt_masks=None):
             def loss_fn(params):
                 losses = model.forward_train(
-                    params, images, gt_boxes, gt_labels, gt_valid, rng)
+                    params, images, gt_boxes, gt_labels, gt_valid, rng,
+                    gt_masks=gt_masks)
                 return losses["total_loss"], losses
 
             grads, losses = jax.grad(loss_fn, has_aux=True)(state["params"])

@@ -116,6 +116,33 @@ def test_create_obj_infos_filters():
     np.testing.assert_allclose(dets[0].tlwh, [0, 0, 10, 20])
 
 
+def test_create_obj_infos_drops_degenerate_boxes():
+    """Regression for the round-1 bench NaN path: zero-height / zero-width
+    boxes must never reach Detection (to_xyah divides by h) or the Kalman
+    filter (NaN matmul)."""
+    boxes = np.array([
+        [10, 10, 30, 10],     # zero height
+        [10, 10, 10, 30],     # zero width
+        [30, 30, 10, 50],     # negative width (x2 < x1)
+        [10, 10, 30, 50],     # good
+    ], np.float32)
+    labels = np.array([1, 1, 1, 1])
+    probs = np.array([0.99, 0.99, 0.99, 0.99])
+    feats = np.ones((4, 4), np.float32)
+    valid = np.ones(4, bool)
+    dets = create_obj_infos(boxes, labels, probs, feats, valid,
+                            {1: "Person"}, "Person", min_confidence=0.85)
+    assert len(dets) == 1
+    np.testing.assert_allclose(dets[0].tlwh, [10, 10, 20, 40])
+    # and the surviving detection keeps the tracker NaN-free
+    metric = NearestNeighborDistanceMetric("cosine", 0.5, budget=5)
+    tracker = Tracker(metric, n_init=1)
+    tracker.predict(); tracker.update(dets)
+    tracker.predict(); tracker.update(dets)
+    for t in tracker.tracks:
+        assert np.isfinite(t.mean).all() and np.isfinite(t.covariance).all()
+
+
 def test_linear_inter_and_filter_short():
     rows = np.array([
         [0, 1, 10, 10, 5, 5],
