@@ -173,7 +173,12 @@ class DatasetEnqueuer:
             n = self.dataset.num_samples
             if self.num_workers > 1 and self.use_process:
                 import multiprocessing
-                ctx = multiprocessing.get_context("fork")
+                # spawn, not fork: this process usually has live JAX/XLA
+                # threads, and forking a threaded process can deadlock in
+                # the child (the reference's keras-derived pool has the
+                # same hazard, enqueuer.py:25-27). Costs a re-import per
+                # worker; the dataset ships via initargs pickling.
+                ctx = multiprocessing.get_context("spawn")
                 with ctx.Pool(self.num_workers, initializer=_init_worker,
                               initargs=(self.dataset,)) as pool:
                     for sample in pool.imap(_worker_get_sample, range(n)):

@@ -48,6 +48,10 @@ class VideoReader:
         ok, _ = self.read()
         return ok
 
+    def seek(self, frame_idx: int):
+        """Position so the next read() returns container frame frame_idx."""
+        raise NotImplementedError
+
     def release(self):
         pass
 
@@ -76,75 +80,159 @@ class CV2Reader(VideoReader):
     def grab(self):
         return self.cap.grab()
 
+    def seek(self, frame_idx: int):
+        self.cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
+
     def release(self):
         self.cap.release()
 
 
 class PyAVReader(VideoReader):
-    """PyAV-based reader with reordering + missing-frame fill.
+    """PyAV-based reader with reordering, missing-frame fill, and random
+    seek — the diva_io repair semantics (diva_io/video/reader.py:224-300):
 
-    Frames can arrive out of presentation order and with pts gaps; we keep a
-    small heap keyed on frame index (pts / pts_unit), emit in order, and
-    duplicate the previous frame to fill index gaps — so ``read()`` number i
-    always corresponds to container frame index i (diva_io semantics).
+      * frames can arrive out of presentation order; a bounded lookahead
+        heap (5 frames) re-sorts them by frame index (pts / pts-per-frame);
+      * index gaps are filled by duplicating the previous frame (leading
+        gaps duplicate the *next* frame backward), so ``read()`` call i
+        always returns container frame i;
+      * ``seek(i)`` seeks the container to the target pts and, if nothing
+        decodes (landed past the last keyframe), retries stepping back
+        ``retry_step`` frames up to ``retry`` times (reader.py:224-244).
     """
 
     BUFFER = 5
 
     def __init__(self, path: str, fix_missing: bool = True):
         import av
+        self._av = av
+        self.path = path
+        self.fix_missing = fix_missing
         self.container = av.open(path)
         self.stream = self.container.streams.video[0]
-        self.fix_missing = fix_missing
         self.fps = float(self.stream.average_rate or 30.0)
         self.num_frames = int(self.stream.frames or 0)
         rate = self.stream.average_rate
         tb = self.stream.time_base
         self._pts_unit = (1 / (tb * rate)) if (tb and rate) else None
-        self._decode_iter = self.container.decode(video=0)
-        self._heap = []  # (frame_idx, serial, ndarray)
         self._serial = 0
-        self._next_idx = 0
-        self._last_frame = None
-        self._eof = False
+        self._gen = self._frames(0)
+        self.next_idx = 0
+
+    # -- pipeline stages (decode -> reorder -> fix-missing) ---------------
 
     def _frame_index(self, frame) -> int:
         if self._pts_unit and frame.pts is not None:
             return int(round(frame.pts / self._pts_unit))
-        return self._next_idx + len(self._heap)
+        i = self._serial
+        return i
 
-    def _fill_heap(self):
-        while not self._eof and len(self._heap) < self.BUFFER:
+    def _decode(self):
+        for packet in self.container.demux(self.stream):
             try:
-                frame = next(self._decode_iter)
-            except (StopIteration, Exception):
-                self._eof = True
-                return
+                for frame in packet.decode():
+                    yield frame
+            except Exception:  # av.AVError: skip undecodable packets
+                continue
+
+    def _reorder(self):
+        """Bounded lookahead heap on frame index (reader.py:291-300)."""
+        buf = []
+        for frame in self._decode():
             idx = self._frame_index(frame)
-            arr = frame.to_ndarray(format="bgr24")
-            heapq.heappush(self._heap, (idx, self._serial, arr))
+            heapq.heappush(buf, (idx, self._serial, frame))
             self._serial += 1
+            if len(buf) > self.BUFFER:
+                i, _, f = heapq.heappop(buf)
+                yield i, f.to_ndarray(format="bgr24")
+        while buf:
+            i, _, f = heapq.heappop(buf)
+            yield i, f.to_ndarray(format="bgr24")
+
+    def _frames(self, start_idx: int):
+        """Yield (idx, bgr) for idx >= start_idx with gaps filled
+        (reader.py:246-289)."""
+        prev = None
+        for idx, arr in self._reorder():
+            if prev is None:
+                if idx > start_idx and self.fix_missing:
+                    # leading gap: duplicate the first real frame backward
+                    for i in range(start_idx, idx):
+                        yield i, arr
+            else:
+                pidx, parr = prev
+                if idx <= pidx:
+                    continue  # duplicate pts after reorder; drop
+                if idx - pidx > 1 and self.fix_missing:
+                    for i in range(pidx + 1, idx):
+                        if i >= start_idx:
+                            yield i, parr
+            if idx >= start_idx:
+                yield idx, arr
+            prev = (idx, arr)
+
+    # -- public API --------------------------------------------------------
 
     def read(self):
-        self._fill_heap()
-        if not self._heap:
+        try:
+            idx, arr = next(self._gen)
+        except StopIteration:
             return False, None
-        idx, _, arr = self._heap[0]
-        if idx > self._next_idx and self.fix_missing and \
-                self._last_frame is not None:
-            # fill the gap by duplicating the previous frame
-            self._next_idx += 1
-            return True, self._last_frame.copy()
-        heapq.heappop(self._heap)
-        self._next_idx = max(self._next_idx, idx) + 1
-        self._last_frame = arr
+        self.next_idx = idx + 1
         return True, arr
+
+    def seek(self, frame_idx: int, retry: int = 5, retry_step: int = 120):
+        """Random access with retry-backstep (reader.py:224-244). The next
+        read() returns frame ``frame_idx``."""
+        if frame_idx == 0:
+            self.reset()
+            return
+        seek_to = frame_idx
+        for _ in range(retry):
+            pts = int(round(seek_to * self._pts_unit)) if self._pts_unit \
+                else seek_to
+            try:
+                self.container.seek(pts, stream=self.stream)
+            except Exception:
+                self.reset()
+                # fall through: decode from the start (always succeeds)
+                self._gen = (x for x in self._frames(0)
+                             if x[0] >= frame_idx)
+                return
+            gen = self._frames(frame_idx)
+            try:
+                first = next(gen)
+            except StopIteration:
+                seek_to -= retry_step
+                if seek_to < 0:
+                    seek_to = 0
+                continue
+            self._gen = _chain_one(first, gen)
+            self.next_idx = frame_idx
+            return
+        raise RuntimeError(f"failed to seek to frame {frame_idx}")
+
+    def reset(self):
+        try:
+            self.container.close()
+        except Exception:
+            pass
+        self.container = self._av.open(self.path)
+        self.stream = self.container.streams.video[0]
+        self._serial = 0
+        self._gen = self._frames(0)
+        self.next_idx = 0
 
     def release(self):
         try:
             self.container.close()
         except Exception:
             pass
+
+
+def _chain_one(first, rest):
+    yield first
+    yield from rest
 
 
 def open_video(path: str, decoder: str = "auto") -> VideoReader:

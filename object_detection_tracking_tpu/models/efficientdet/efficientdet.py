@@ -21,15 +21,21 @@ from ..layers import conv2d, init_conv, max_pool, upsample2x_nearest
 from .anchors import decode_effdet_boxes, effdet_anchors
 from .efficientnet import (efficientnet_c345, init_efficientnet, swish)
 
-# name, backbone, image_size, fpn_filters, fpn_repeats, head_repeats
+# name -> (backbone, image_size, fpn_filters, fpn_repeats, head_repeats,
+#          fusion, anchor_scale)  — reference hparams
+# efficientdet_wrapper.py:511-587; d6/d7 use unweighted-sum BiFPN fusion
+# ("bifpn_sum", for training stability) and d7 widens the anchors to 5.0.
 EFFICIENTDET_CONFIGS = {
-    "efficientdet-d0": ("efficientnet-b0", 512, 64, 3, 3),
-    "efficientdet-d1": ("efficientnet-b1", 640, 88, 4, 3),
-    "efficientdet-d2": ("efficientnet-b2", 768, 112, 5, 3),
-    "efficientdet-d3": ("efficientnet-b3", 896, 160, 6, 4),
-    "efficientdet-d4": ("efficientnet-b4", 1024, 224, 7, 4),
+    "efficientdet-d0": ("efficientnet-b0", 512, 64, 3, 3, "fastattn", 4.0),
+    "efficientdet-d1": ("efficientnet-b1", 640, 88, 4, 3, "fastattn", 4.0),
+    "efficientdet-d2": ("efficientnet-b2", 768, 112, 5, 3, "fastattn", 4.0),
+    "efficientdet-d3": ("efficientnet-b3", 896, 160, 6, 4, "fastattn", 4.0),
+    "efficientdet-d4": ("efficientnet-b4", 1024, 224, 7, 4, "fastattn", 4.0),
+    "efficientdet-d5": ("efficientnet-b5", 1280, 288, 7, 4, "fastattn", 4.0),
+    "efficientdet-d6": ("efficientnet-b6", 1280, 384, 8, 5, "sum", 4.0),
+    "efficientdet-d7": ("efficientnet-b6", 1536, 384, 8, 5, "sum", 5.0),
     # tiny variant for CPU unit tests only (not a reference model)
-    "efficientdet-test": ("efficientnet-b0", 128, 32, 2, 2),
+    "efficientdet-test": ("efficientnet-b0", 128, 32, 2, 2, "fastattn", 4.0),
 }
 
 # BiFPN graph (bifpn_dynamic_config for levels 3..7): inputs are node ids;
@@ -75,7 +81,8 @@ class EfficientDet:
         name = model_name or getattr(config, "efficientdet_name",
                                      "efficientdet-d0")
         (self.backbone_name, self.image_size, self.fpn_filters,
-         self.fpn_repeats, self.head_repeats) = EFFICIENTDET_CONFIGS[name]
+         self.fpn_repeats, self.head_repeats, self.fusion,
+         self.anchor_scale) = EFFICIENTDET_CONFIGS[name]
         self.name = name
         self.num_classes = config.num_class - 1  # sigmoid heads, no BG row
 
@@ -109,7 +116,8 @@ class EfficientDet:
             for ni, (lvl, inputs) in enumerate(BIFPN_NODES):
                 node = _init_sep_conv(rc[ni], c, c, bias=True)
                 node["bn"] = init_bn(c)
-                node["wsm"] = jnp.ones((len(inputs),), jnp.float32)
+                if self.fusion == "fastattn":
+                    node["wsm"] = jnp.ones((len(inputs),), jnp.float32)
                 cell[f"fnode{ni}"] = node
             cells[f"cell_{rep}"] = cell
         params["fpn_cells"] = cells
@@ -165,10 +173,13 @@ class EfficientDet:
                 elif n.shape[1] < target:     # upsample by 2
                     n = upsample2x_nearest(n)
                 resampled.append(n)
-            w = jax.nn.relu(p["wsm"])
-            w = w / (w.sum() + 1e-4)
-            fused = sum(r * w[i].astype(r.dtype)
-                        for i, r in enumerate(resampled))
+            if "wsm" in p:       # fast-attention fusion
+                w = jax.nn.relu(p["wsm"])
+                w = w / (w.sum() + 1e-4)
+                fused = sum(r * w[i].astype(r.dtype)
+                            for i, r in enumerate(resampled))
+            else:                # unweighted sum (d6/d7 "bifpn_sum")
+                fused = sum(resampled)
             fused = swish(fused)
             out = _sep_conv(p, fused)
             out = frozen_bn(p["bn"], out)
@@ -277,7 +288,8 @@ class EfficientDet:
         feats, cls_outs, box_outs = jax.lax.optimization_barrier(
             (feats, cls_outs, box_outs))
 
-        anchors = effdet_anchors((self.image_size, self.image_size))
+        anchors = effdet_anchors((self.image_size, self.image_size),
+                                 anchor_scale=self.anchor_scale)
         anchors_flat = jnp.concatenate(
             [jnp.asarray(a).reshape(-1, 4) for a in anchors], axis=0)
         import numpy as onp

@@ -1,4 +1,4 @@
-"""EfficientNet-B0..B4 backbone (Tan & Le, ICML 2019), inference forward.
+"""EfficientNet-B0..B7 backbone (Tan & Le, ICML 2019), inference forward.
 
 Architecture parity with the vendored builder (reference
 efficientdet/backbone/efficientnet_builder.py, efficientnet_model.py):
@@ -31,12 +31,16 @@ BLOCK_ARGS = [
 SE_RATIO = 0.25
 
 # width_coefficient, depth_coefficient
+# (reference efficientdet/backbone/efficientnet_builder.py:37-48)
 SCALING = {
     "efficientnet-b0": (1.0, 1.0),
     "efficientnet-b1": (1.0, 1.1),
     "efficientnet-b2": (1.1, 1.2),
     "efficientnet-b3": (1.2, 1.4),
     "efficientnet-b4": (1.4, 1.8),
+    "efficientnet-b5": (1.6, 2.2),
+    "efficientnet-b6": (1.8, 2.6),
+    "efficientnet-b7": (2.0, 3.1),
 }
 
 

@@ -68,11 +68,36 @@ def test_effdet_forward_shapes(tiny_effdet):
     assert ((fl[fv] >= 1) & (fl[fv] <= 80)).all()
 
 
-def test_d0_param_count():
-    """Published EfficientDet-d0 has 3.9M params — a strong whole-
-    architecture checksum."""
+def _param_count(name):
     cfg = DetectorConfig.coco(result_per_im=10)
-    m = EfficientDet(cfg, "efficientdet-d0")
+    m = EfficientDet(cfg, name)
     params = m.init_params(jax.random.PRNGKey(0))
-    n = sum(x.size for x in jax.tree.leaves(params))
-    assert abs(n / 1e6 - 3.9) < 0.15, n
+    return sum(x.size for x in jax.tree.leaves(params))
+
+
+@pytest.mark.parametrize("name,millions,tol", [
+    # published EfficientDet param counts (automl README) — strong
+    # whole-architecture checksums (ours differ slightly: 80-class heads
+    # vs the paper's 90)
+    ("efficientdet-d0", 3.9, 0.15),
+    ("efficientdet-d1", 6.6, 0.25),
+    ("efficientdet-d5", 33.7, 1.0),
+    ("efficientdet-d6", 51.9, 1.6),
+    ("efficientdet-d7", 51.9, 1.6),  # same graph as d6 (anchor/size differ)
+])
+def test_param_count_golden(name, millions, tol):
+    n = _param_count(name)
+    assert abs(n / 1e6 - millions) < tol, (name, n)
+
+
+def test_d6_d7_use_sum_fusion_and_d7_anchor_scale():
+    cfg = DetectorConfig.coco(result_per_im=10)
+    d6 = EfficientDet(cfg, "efficientdet-d6")
+    assert d6.fusion == "sum" and d6.anchor_scale == 4.0
+    d7 = EfficientDet(cfg, "efficientdet-d7")
+    assert d7.fusion == "sum" and d7.anchor_scale == 5.0
+    assert d7.image_size == 1536 and d7.backbone_name == "efficientnet-b6"
+    # sum-fusion cells carry no wsm weights (ckpt-name parity with the
+    # reference's bifpn_sum graphs)
+    p = d6.init_params(jax.random.PRNGKey(0))
+    assert "wsm" not in p["fpn_cells"]["cell_0"]["fnode0"]
