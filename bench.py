@@ -136,6 +136,10 @@ def main():
             "wall_s_all": [round(r[0], 2) for r in runs],
             "fps_processed": round(processed / elapsed, 2),
             "setup_s": round(setup_s, 1),
+            # zero-egress env: no pretrained checkpoints exist, so the
+            # model runs random weights — this measures pipeline speed
+            # only, not detection quality (see tests for quality proof)
+            "weights": "random",
         },
     }
     print(json.dumps(result))

@@ -123,35 +123,62 @@ def load_ckpt(path, params, opt_template=None):
     return params, opt, step
 
 
-def run_eval(args, cfg, model, params) -> float:
-    """Periodic AP/AR eval (reference main.py:1194-1530)."""
+def run_eval(args, cfg, model, params, cache=None) -> float:
+    """Periodic AP/AR eval fanned out over every chip in the mesh — the
+    Tester equivalent (reference tester.py:8-99 fans a batch across GPU
+    replicas; here the batch is sharded over the 'data' axis so one jit
+    call drives all chips). ``cache`` (a dict) keeps the compiled sharded
+    step across periodic evals within one training run."""
     import jax
     from ..data.training import DetectionTrainDataset
     from ..evaluation import (aggregate_eval, gather_dt, gather_gt,
                               match_dt_gt, weighted_average)
+
+    n_dev = jax.local_device_count()
     ds = DetectionTrainDataset(
         args.vallst, args.valframepath or args.framepath,
         args.valannopath or args.annopath, cfg.classname2id,
-        cfg.short_edge_size, cfg.max_size, batch_size=1,
+        cfg.short_edge_size, cfg.max_size, batch_size=n_dev,
         max_gt=args.max_gt, shuffle=False, flip_prob=0.0)
-    infer_cfg = cfg.__class__(**{**cfg.__dict__, "is_train": False})
-    from ..models import get_model
-    infer_model = get_model(infer_cfg)
-    fn = jax.jit(infer_model.forward)
+
+    if cache is None:
+        cache = {}
+    if "fn" not in cache:
+        from ..models import get_model
+        from ..parallel import make_mesh
+        from ..parallel.mesh import (batch_sharding, make_sharded_infer_fn)
+        infer_cfg = cfg.__class__(**{**cfg.__dict__, "is_train": False})
+        infer_model = get_model(infer_cfg)
+        mesh = make_mesh(n_data=n_dev, n_model=1)
+        _, fn = make_sharded_infer_fn(infer_model, params, mesh)
+        cache.update(mesh=mesh, fn=fn, data_sh=batch_sharding(mesh))
+    from ..parallel.mesh import shard_params
+    params_sh = shard_params(params, cache["mesh"])
+
     eval_target = {name: 1 for name in cfg.classname2id if name != "BG"}
     e = {c: {} for c in eval_target}
-    for i, (images, gt_boxes, gt_labels, gt_valid) in enumerate(
-            ds.batches()):
-        out = fn(params, images)
-        valid = np.asarray(out["final_valid"][0])
-        boxes = np.asarray(out["final_boxes"][0])[valid]
-        probs = np.asarray(out["final_probs"][0])[valid]
-        labels = np.asarray(out["final_labels"][0])[valid]
-        dt = gather_dt(boxes, probs, labels, eval_target, cfg.classid2name)
-        gvalid = gt_valid[0]
-        gt = gather_gt(gt_boxes[0][gvalid], gt_labels[0][gvalid],
-                       eval_target, cfg.classid2name)
-        match_dt_gt(e, i, dt, gt, eval_target)
+    img_id = 0
+    for images, gt_boxes, gt_labels, gt_valid, batch_valid in ds.batches(
+            pad_last=True, yield_batch_valid=True):
+        images = jax.device_put(images, cache["data_sh"])
+        with cache["mesh"]:
+            out = cache["fn"](params_sh, images)
+        out = {k: np.asarray(v) for k, v in out.items()
+               if k in ("final_boxes", "final_probs", "final_labels",
+                        "final_valid")}
+        for bi in range(images.shape[0]):
+            if not batch_valid[bi]:
+                continue
+            valid = out["final_valid"][bi]
+            dt = gather_dt(out["final_boxes"][bi][valid],
+                           out["final_probs"][bi][valid],
+                           out["final_labels"][bi][valid],
+                           eval_target, cfg.classid2name)
+            gvalid = gt_valid[bi]
+            gt = gather_gt(gt_boxes[bi][gvalid], gt_labels[bi][gvalid],
+                           eval_target, cfg.classid2name)
+            match_dt_gt(e, img_id, dt, gt, eval_target)
+            img_id += 1
     aps, ars = aggregate_eval(e)
     ap, ar = weighted_average(aps, ars)
     print("eval AP: %.4f AR: %.4f (%s)" % (
@@ -204,6 +231,7 @@ def mode_train(args):
 
     loss_ma = deque(maxlen=400)
     best_ap = -1.0
+    eval_cache = {}
     rng = jax.random.PRNGKey(1)
     step = start_step
     t0 = time.time()
@@ -223,7 +251,8 @@ def mode_train(args):
             if step % args.save_every == 0:
                 save_ckpt(checkpoint_dir(args), state, step)
             if args.vallst and step % args.eval_every == 0:
-                ap = run_eval(args, cfg, model, state["params"])
+                ap = run_eval(args, cfg, model, state["params"],
+                              cache=eval_cache)
                 if ap > best_ap:
                     best_ap = ap
                     save_ckpt(checkpoint_dir(args, best=True), state, step)

@@ -97,14 +97,27 @@ class DetectionTrainDataset:
             boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
         return im, boxes, labels
 
-    def batches(self, epochs: int = 1):
+    def batches(self, epochs: int = 1, pad_last: bool = False,
+                yield_batch_valid: bool = False, pad_to=None):
+        """Yield fixed-shape batches.
+
+        pad_last: keep the final short batch by repeating its last sample
+        (needed for full-coverage eval; training drops the remainder).
+        yield_batch_valid: append a [B] bool mask marking real (non-pad)
+        samples to each yield.
+        pad_to: optional (H, W) to pad every image batch to — one XLA
+        compile for the whole run instead of one per batch-max size.
+        """
         for _ in range(epochs):
             order = list(range(self.num_samples))
             if self.shuffle:
                 self.rng.shuffle(order)
-            for s in range(0, len(order) - self.batch_size + 1,
-                           self.batch_size):
+            stop = len(order) if pad_last else \
+                len(order) - self.batch_size + 1
+            for s in range(0, stop, self.batch_size):
                 idxs = order[s:s + self.batch_size]
+                n_real = len(idxs)
+                idxs = idxs + [idxs[-1]] * (self.batch_size - n_real)
                 ims, gts, labs = [], [], []
                 for i in idxs:
                     flip = self.shuffle and \
@@ -128,6 +141,10 @@ class DetectionTrainDataset:
                     labs.append(l)
                 hmax = max(im.shape[0] for im in ims)
                 wmax = max(im.shape[1] for im in ims)
+                if pad_to is not None:
+                    assert hmax <= pad_to[0] and wmax <= pad_to[1], \
+                        ((hmax, wmax), pad_to)
+                    hmax, wmax = pad_to
                 images = np.zeros((len(ims), hmax, wmax, 3), np.uint8)
                 g = self.max_gt
                 gt_boxes = np.zeros((len(ims), g, 4), np.float32)
@@ -139,4 +156,9 @@ class DetectionTrainDataset:
                     gt_boxes[bi, :n] = b[:n]
                     gt_labels[bi, :n] = l[:n]
                     gt_valid[bi, :n] = True
-                yield images, gt_boxes, gt_labels, gt_valid
+                if yield_batch_valid:
+                    batch_valid = np.arange(len(ims)) < n_real
+                    yield (images, gt_boxes, gt_labels, gt_valid,
+                           batch_valid)
+                else:
+                    yield images, gt_boxes, gt_labels, gt_valid

@@ -19,6 +19,7 @@ Layout notes:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -84,14 +85,19 @@ def _permute_fc6_rows(w: np.ndarray, feat_dim: int = 256,
 
 
 def load_reference_npz(path: str, model) -> Dict:
-    """Load a tensorpack/TF-named .npz into the model's parameter pytree.
+    """Load a tensorpack/TF-named .npz into the model's parameter pytree."""
+    return load_reference_dict(dict(np.load(path)), model, source=path)
+
+
+def load_reference_dict(weights: Dict[str, np.ndarray], model,
+                        source: str = "<dict>") -> Dict:
+    """Load a dict of TF-named arrays into the model's parameter pytree.
 
     Unknown keys are reported; missing model params keep their random init
     (mirrors the reference's partial-restore behavior)."""
     import jax.random
     params = model.init_params(jax.random.PRNGKey(0))
     params = jax.tree.map(np.asarray, params)
-    weights = dict(np.load(path))
 
     loaded, skipped = [], []
     for name, value in weights.items():
@@ -112,9 +118,9 @@ def load_reference_npz(path: str, model) -> Dict:
         (loaded if ok else skipped).append(name)
 
     if skipped:
-        print(f"warning: {len(skipped)}/{len(weights)} npz arrays not "
+        print(f"warning: {len(skipped)}/{len(weights)} arrays not "
               f"mapped: {sorted(skipped)[:8]}...")
-    print(f"loaded {len(loaded)} arrays from {path}")
+    print(f"loaded {len(loaded)} arrays from {source}")
     return jax.tree.map(jax.numpy.asarray, params)
 
 
@@ -145,7 +151,8 @@ def load_npz(path: str, model) -> Dict:
 
 
 def load_weights(path: str, model) -> Dict:
-    """Dispatch on checkpoint flavor."""
+    """Dispatch on checkpoint flavor (reference initialize,
+    models.py:3489-3595 handles ckpt dir / single .ckpt / .npz)."""
     if path.endswith(".npz"):
         keys = np.load(path).files
         if any(k.endswith(":0") or k.startswith(
@@ -155,6 +162,13 @@ def load_weights(path: str, model) -> Dict:
             if not any(k.startswith("resnet/") for k in keys):
                 return load_reference_npz(path, model)
         return load_npz(path, model)
+    # TF V2 checkpoint: a prefix/.index path or a directory with a
+    # 'checkpoint' state file — read TF-free via the tensor-bundle parser
+    if (os.path.isdir(path) or path.endswith(".index") or
+            os.path.exists(path + ".index")):
+        from .tf_ckpt import load_tf_checkpoint
+        return load_reference_dict(load_tf_checkpoint(path), model,
+                                   source=path)
     raise ValueError(f"unsupported checkpoint format: {path} "
-                     "(expected .npz; TF .ckpt needs TensorFlow to read — "
-                     "convert offline with tools/convert_tf_ckpt.py)")
+                     "(expected .npz, a TF ckpt prefix/.index, or a ckpt "
+                     "directory)")

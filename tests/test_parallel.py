@@ -48,6 +48,43 @@ def test_sharded_train_step_runs():
     assert int(state["step"]) == 1
 
 
+def test_sharded_eval_covers_nondivisible_valset(tmp_path):
+    """run_eval fans the val set over the 8-device mesh (VERDICT r1 #9);
+    a val size not divisible by the device count must still evaluate
+    every image exactly once (pad_last + batch_valid)."""
+    import cv2
+    from types import SimpleNamespace
+    from object_detection_tracking_tpu.cli.main import run_eval
+
+    frames = tmp_path / "frames"; frames.mkdir()
+    annos = tmp_path / "annos"; annos.mkdir()
+    rng = np.random.RandomState(0)
+    names = []
+    for i in range(11):   # 11 % 8 != 0
+        img = rng.randint(0, 60, (48, 64, 3)).astype(np.uint8)
+        x, y = int(rng.randint(5, 25)), int(rng.randint(5, 15))
+        cv2.rectangle(img, (x, y), (x + 20, y + 24), (255, 255, 255), -1)
+        name = f"f{i:03d}"
+        cv2.imwrite(str(frames / f"{name}.jpg"), img)
+        np.savez(str(annos / f"{name}.npz"),
+                 boxes=np.array([[x, y, x + 20, y + 24]], np.float32),
+                 labels=np.array(["Person"]))
+        names.append(name)
+    lst = tmp_path / "val.lst"
+    lst.write_text("\n".join(names) + "\n")
+
+    cfg = tiny_cfg()
+    model = get_model(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    args = SimpleNamespace(vallst=str(lst), valframepath=str(frames),
+                           framepath=str(frames), valannopath=str(annos),
+                           annopath=str(annos), max_gt=8)
+    cache = {}
+    ap = run_eval(args, cfg, model, params, cache=cache)
+    assert 0.0 <= ap <= 1.0
+    assert "fn" in cache  # compiled step retained for the next eval
+
+
 def test_sharded_inference_matches_single_device():
     mesh = make_mesh(n_data=8, n_model=1)
     model = get_model(tiny_cfg())
