@@ -179,6 +179,15 @@ def run_eval(args, cfg, model, params, cache=None) -> float:
                            eval_target, cfg.classid2name)
             match_dt_gt(e, img_id, dt, gt, eval_target)
             img_id += 1
+    # average only over classes present in the val gt — the reference's
+    # eval_target is the tracked-class subset with weights (main.py
+    # train_diva); averaging absent classes as 0 would just dilute
+    present = {c for c in e
+               if any(v["gt_num"] > 0 for v in e[c].values())}
+    e = {c: v for c, v in e.items() if c in present}
+    if not e:
+        print("eval: no gt instances in the val set")
+        return 0.0
     aps, ars = aggregate_eval(e)
     ap, ar = weighted_average(aps, ars)
     print("eval AP: %.4f AR: %.4f (%s)" % (

@@ -1,0 +1,131 @@
+"""Synthetic detection dataset: colored shapes on textured backgrounds.
+
+Zero-egress environments have no real annotated data or pretrained
+weights, so detection *quality* is proven end-to-end on generated scenes:
+train with cli.main on this dataset, eval with evaluation.py, and require
+a high AP@0.5 (the reference's quality story is its model-zoo table,
+README.md:216-417; ours is `python -m ...cli.quality_proof`).
+
+Shapes (one per class): filled circle -> "Person", axis-aligned square ->
+"Vehicle", triangle -> "Bike". Backgrounds are textured (noise + gradient
++ random distractor lines) so the detector must learn shape, not color
+thresholds; object colors and sizes vary per instance.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+SHAPE_CLASSES = ("Person", "Vehicle", "Bike")   # circle, square, triangle
+
+
+def _textured_background(rng, h: int, w: int) -> np.ndarray:
+    base = rng.randint(40, 160, (3,), np.int32)
+    yy = np.linspace(0, 30, h, dtype=np.float32)[:, None]
+    xx = np.linspace(0, 30, w, dtype=np.float32)[None, :]
+    grad = (yy + xx)[..., None]
+    noise = rng.randn(h, w, 3).astype(np.float32) * 12
+    img = np.clip(base[None, None] + grad * rng.uniform(-1, 1) + noise,
+                  0, 255).astype(np.uint8)
+    # distractor strokes (unlabeled clutter)
+    for _ in range(rng.randint(2, 6)):
+        p1 = (int(rng.randint(0, w)), int(rng.randint(0, h)))
+        p2 = (int(rng.randint(0, w)), int(rng.randint(0, h)))
+        color = tuple(int(c) for c in rng.randint(0, 255, 3))
+        cv2.line(img, p1, p2, color, int(rng.randint(1, 3)))
+    return img
+
+
+def _draw_shape(rng, img, cls: int) -> Tuple[float, float, float, float]:
+    h, w = img.shape[:2]
+    size = int(rng.randint(14, min(h, w) // 3))
+    x = int(rng.randint(2, w - size - 2))
+    y = int(rng.randint(2, h - size - 2))
+    color = tuple(int(c) for c in rng.randint(0, 255, 3))
+    if cls == 0:      # circle
+        r = size // 2
+        cv2.circle(img, (x + r, y + r), r, color, -1)
+        box = (x, y, x + 2 * r, y + 2 * r)
+    elif cls == 1:    # square
+        cv2.rectangle(img, (x, y), (x + size, y + size), color, -1)
+        box = (x, y, x + size, y + size)
+    else:             # triangle
+        pts = np.array([[x + size // 2, y], [x, y + size],
+                        [x + size, y + size]], np.int32)
+        cv2.fillPoly(img, [pts], color)
+        box = (x, y, x + size, y + size)
+    return box
+
+
+def generate_dataset(out_dir: str, num_images: int, image_hw=(160, 160),
+                     max_objects: int = 4, seed: int = 0,
+                     prefix: str = "im") -> str:
+    """Write frames/ + anno/ + a .lst file; returns the lst path."""
+    if cv2 is None:
+        raise RuntimeError("cv2 required")
+    frames = os.path.join(out_dir, "frames")
+    annos = os.path.join(out_dir, "anno")
+    os.makedirs(frames, exist_ok=True)
+    os.makedirs(annos, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    h, w = image_hw
+    names = []
+    for i in range(num_images):
+        img = _textured_background(rng, h, w)
+        boxes, labels = [], []
+        for _ in range(int(rng.randint(1, max_objects + 1))):
+            cls = int(rng.randint(0, len(SHAPE_CLASSES)))
+            # reject heavy overlap so the gt stays unambiguous
+            for _attempt in range(8):
+                box = _draw_shape(rng, img.copy(), cls)
+                ok = all(_iou(box, b) < 0.3 for b in boxes)
+                if ok:
+                    break
+            if not ok:
+                continue
+            _draw_shape_at(img, cls, box, rng)
+            boxes.append(box)
+            labels.append(SHAPE_CLASSES[cls])
+        name = f"{prefix}{i:05d}"
+        cv2.imwrite(os.path.join(frames, name + ".jpg"), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+        np.savez(os.path.join(annos, name + ".npz"),
+                 boxes=np.asarray(boxes, np.float32).reshape(-1, 4),
+                 labels=np.asarray(labels))
+        names.append(name)
+    lst = os.path.join(out_dir, f"{prefix}.lst")
+    with open(lst, "w") as f:
+        f.write("\n".join(names) + "\n")
+    return lst
+
+
+def _draw_shape_at(img, cls: int, box, rng):
+    x1, y1, x2, y2 = [int(v) for v in box]
+    color = tuple(int(c) for c in rng.randint(30, 255, 3))
+    if cls == 0:
+        r = (x2 - x1) // 2
+        cv2.circle(img, (x1 + r, y1 + r), r, color, -1)
+    elif cls == 1:
+        cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
+    else:
+        pts = np.array([[(x1 + x2) // 2, y1], [x1, y2], [x2, y2]], np.int32)
+        cv2.fillPoly(img, [pts], color)
+
+
+def _iou(a, b) -> float:
+    ix = max(0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    if inter == 0:
+        return 0.0
+    area_a = (a[2] - a[0]) * (a[3] - a[1])
+    area_b = (b[2] - b[0]) * (b[3] - b[1])
+    return inter / float(area_a + area_b - inter)
