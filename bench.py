@@ -57,6 +57,9 @@ def main():
 
     FPS = 30
     FRAME_GAP = 8
+    # B=8: measured best end-to-end. (B=32 was tried to amortize the
+    # tunnel's fixed per-transfer cost but the 2-deep pipeline already
+    # hides it; interleaved A/B showed B=8 >= B=32.)
     BATCH = 8
     BENCH_SECONDS = 48  # 1440 frames -> 180 processed
 
@@ -81,7 +84,7 @@ def main():
     def run_video(path, track=True):
         vcap = open_video(path)
         enq = VideoEnqueuer(vcap, 720, 1280, frame_gap=FRAME_GAP,
-                            batch_size=BATCH, prefetch=8,
+                            batch_size=BATCH, prefetch=3,
                             pad_last_batch=True, pixel_format="i420")
         trackers = {
             obj: Tracker(NearestNeighborDistanceMetric("cosine", 0.5, 5))
@@ -112,6 +115,41 @@ def main():
     run_video(warm_path, track=False)
     setup_s = time.time() - t_setup
 
+    # measure the host->device tunnel under current load so the end-to-end
+    # number is interpretable: the pipeline ships 1.38 MB/frame (I420), so
+    # x_realtime is capped near tunnel_MBps / 1.382 / FPS * FRAME_GAP
+    probe = np.random.RandomState(0).randint(
+        0, 255, (8, 1080, 1280)).astype(np.uint8)
+    tunnel = []
+    for _ in range(3):
+        t0 = time.time()
+        d = jax.device_put(probe)
+        d.block_until_ready()
+        float(np.asarray(d[0, 0, :4].astype(np.float32).sum()))
+        tunnel.append(probe.nbytes / (time.time() - t0) / 1e6)
+    tunnel_mbps = sorted(tunnel)[1]
+
+    # device-side throughput (input pre-staged on device): what the chip
+    # itself sustains when not starved by the tunnel
+    staged = jax.device_put(np.zeros((BATCH, 1080, 1280), np.uint8))
+    runner._fn(runner.params, staged)  # ensure compiled
+    dev = []
+    for _ in range(3):
+        t0 = time.time()
+        out = runner._fn(runner.params, staged)
+        float(np.asarray(out.reshape(-1)[:4].astype(np.float32).sum()))
+        dev.append(time.time() - t0)
+    # subtract one round-trip latency measured with a null op
+    nul = jax.jit(lambda v: v + 1)
+    float(np.asarray(nul(staged[0, :1, :8]).sum()))
+    lats = []
+    for _ in range(3):
+        t0 = time.time()
+        float(np.asarray(nul(staged[0, :1, :8]).sum()))
+        lats.append(time.time() - t0)
+    dev_s = max(sorted(dev)[1] - sorted(lats)[1], 1e-3)
+    x_rt_device = BATCH * FRAME_GAP / FPS / dev_s
+
     # the shared TPU service behind the tunnel has up-to-3x wall-clock
     # variance run-to-run; measure 3 passes and report the median
     runs = []
@@ -138,8 +176,16 @@ def main():
             "setup_s": round(setup_s, 1),
             # zero-egress env: no pretrained checkpoints exist, so the
             # model runs random weights — this measures pipeline speed
-            # only, not detection quality (see tests for quality proof)
+            # only, not detection quality (QUALITY_r02.json is the
+            # quality proof)
             "weights": "random",
+            # context: this chip sits behind a shared ~40-80 MB/s network
+            # tunnel; the end-to-end number is transfer-bound at
+            # 1.38 MB/frame. x_realtime_device is the chip-side
+            # sustained rate with inputs staged in HBM (what a locally
+            # attached deployment would see).
+            "tunnel_mb_s": round(tunnel_mbps, 1),
+            "x_realtime_device": round(x_rt_device, 2),
         },
     }
     print(json.dumps(result))

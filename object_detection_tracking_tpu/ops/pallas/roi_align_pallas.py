@@ -17,13 +17,26 @@ Design:
 
 Exactness: identical to the XLA/TF semantics (f32: bit-level with HIGHEST
 matmul precision) whenever all 2P samples fall inside the 48x56 window —
-true for every box with long/short aspect <= ~2.8, since FPN assignment
-bounds a box's extent on its level to [14, 28)*sqrt(aspect) px. Samples
-outside the window contribute 0 (the value TF's extrapolation gives outside
-the image). Callers wanting exact reference behavior for arbitrarily
-elongated boxes use the XLA path. Pass bf16 features for half the DMA
-bytes; the matmuls then run at bf16 input precision (matches the detector's
-bf16 compute path).
+true for boxes with long/short aspect <= ~2.8 at their canonical FPN
+level, since assignment bounds extent to [14, 28)*sqrt(aspect) px. More
+elongated boxes DEMOTE to the coarsest level whose stride fits their long
+side (multilevel_roi_align_pallas), so every sample is a true bilinear
+read of scale-consistent FPN features instead of the round-1 behavior of
+zeroing out-of-window samples (tested vs the exact path at the demoted
+level and for approximation quality at the original level). Callers
+wanting exact reference level selection for arbitrarily elongated boxes
+use the XLA path. Pass bf16 features for half the DMA bytes; the matmuls
+then run at bf16 input precision (matches the detector's bf16 path).
+
+Perf study (round 2, v5e, 8000 ROIs @ 720p C=256 bf16, tunnel latency
+subtracted): this shape is ~40 ms and empirically optimal for the current
+Mosaic lowering. Measured and REJECTED: deeper DMA pipelining (NBUF 4/8:
+-2 ms), bigger blocks (BLK 4/8: none), a block-diagonal fused y-matmul
+[BLK*14, BLK*48] to fill the MXU's M/K tiles (47 ms — forces a window
+relayout), x-axis-first contraction with pool-folded weights (54 ms —
+despite contracting the sublane-native dim and eliminating the transpose
++ pool reshape). Cost model: ~60% window DMA (~645 GB/s effective),
+~40% per-ROI compute that scales with C.
 
 Mosaic gotchas encoded here (cost a debugging session):
   * W-dim DMA offsets must be multiples of the 8-sublane tile -> x origins
@@ -52,6 +65,7 @@ WIN_Y = 48
 WIN_X = 56   # W offsets align to the 8-sublane tile (up to 7 px slack)
 BLK = 2      # ROIs per pipeline step (VMEM: NBUF*BLK*48*56*C windows)
 NBUF = 2
+MAX_ROIS_PER_CALL = 8192   # SMEM meta budget (36 B/roi of 1 MB)
 
 
 def _kernel(meta_i_ref, meta_f_ref, levels_ref, out_ref,
@@ -167,6 +181,17 @@ def _roi_align_packed(packed: jnp.ndarray, meta_i: jnp.ndarray,
     """
     n = meta_i.shape[1]
     c = packed.shape[-1]
+    # the prefetched meta arrays live in SMEM (1 MB budget): 9 fields x 4B
+    # = 36 B/roi caps one call at ~8k ROIs; chunk bigger workloads (e.g.
+    # B=32 x 1000 proposals) over multiple pallas calls on one packed buf
+    max_n = MAX_ROIS_PER_CALL
+    if n > max_n:
+        outs = [
+            _roi_align_packed(packed, meta_i[:, i:i + max_n],
+                              meta_f[:, i:i + max_n], pool)
+            for i in range(0, n, max_n)
+        ]
+        return jnp.concatenate(outs, axis=0)
     n_pad = ((n + BLK - 1) // BLK) * BLK
     if n_pad != n:
         meta_i = jnp.pad(meta_i, ((0, 0), (0, n_pad - n)))
@@ -177,8 +202,8 @@ def _roi_align_packed(packed: jnp.ndarray, meta_i: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((NBUF, BLK, WIN_Y, WIN_X, c), packed.dtype),
             pltpu.VMEM((NBUF, BLK, pool, _pad8(pool), c), jnp.float32),
@@ -231,6 +256,23 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     flat_boxes = boxes.reshape(b * n, 4)
     if levels is None:
         lvl = fpn_map_rois_to_levels(flat_boxes)
+        # Aspect-aware level demotion: the canonical FPN assignment bounds
+        # a box's extent on its level to [14, 28)*sqrt(aspect) px, so very
+        # elongated boxes (aspect > ~2.8) overflow the fixed window and
+        # round 1 silently zeroed their out-of-window samples. Bump such
+        # boxes to the coarsest level where the long side fits the window
+        # — every sample is then a true bilinear read (of 2x-coarser FPN
+        # features, which are scale-consistent by construction) instead
+        # of zero. Boxes longer than fit*stride[-1] px still clip at the
+        # top level (only near-image-diagonal boxes at >1.5k px).
+        long_side = jnp.maximum(flat_boxes[:, 2] - flat_boxes[:, 0],
+                                flat_boxes[:, 3] - flat_boxes[:, 1])
+        # usable extent: window minus x-alignment slack (7) minus the
+        # half-pixel sample overhang on each side
+        fit = float(min(WIN_Y, WIN_X - 7) - 2)
+        for li in range(L - 1):
+            overflow = long_side > fit * strides[li]
+            lvl = jnp.where((lvl == li) & overflow, li + 1, lvl)
     else:
         lvl = levels.reshape(b * n).astype(jnp.int32)
     lvl = jnp.clip(lvl, 0, L - 1)

@@ -78,6 +78,21 @@ def test_roi_count_not_multiple_of_blk():
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_roi_chunking_over_smem_budget(monkeypatch):
+    """N above the per-call SMEM meta budget splits into multiple pallas
+    calls over one packed buffer (B=32 x 1000 proposals needs this)."""
+    monkeypatch.setattr(RP, "MAX_ROIS_PER_CALL", 8)
+    rng = np.random.RandomState(6)
+    feats = make_feats(rng)
+    x0 = rng.uniform(0, 200, 21)   # 21 > 2 chunks of 8, last partial
+    y0 = rng.uniform(0, 150, 21)
+    sz = rng.uniform(20, 60, 21)
+    boxes = jnp.asarray(
+        np.stack([x0, y0, x0 + sz, y0 + sz], -1)[None].astype(np.float32))
+    ref, got = run_both(feats, boxes)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
 def test_zero_area_and_edge_boxes_are_finite():
     rng = np.random.RandomState(3)
     feats = make_feats(rng)
@@ -89,6 +104,55 @@ def test_zero_area_and_edge_boxes_are_finite():
     got = RP.multilevel_roi_align_pallas(
         list(feats), boxes, (4, 8, 16, 32), 7)
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_aspect5_boxes_demote_level_and_stay_exact():
+    """VERDICT r1 #5: elongated boxes used to overflow the DMA window and
+    their out-of-window samples were silently zeroed. Now they demote to
+    the coarsest level whose stride fits the long side, where every sample
+    is a true bilinear read. Asserts (a) the kernel equals the exact XLA
+    gather at its demoted level, and (b) on a smooth pyramid the demoted
+    value approximates the original-level reference value — unlike the old
+    zero-filled result."""
+    from object_detection_tracking_tpu.ops.roi_align import (
+        fpn_map_rois_to_levels)
+    rng = np.random.RandomState(5)
+    # aspect-5 box near the top of its level bucket: sqrt(area)=108 ->
+    # level p2 (stride 4), long side 241 px -> extent 60 > window fit 46
+    w, h = 108 / np.sqrt(5.0), 108 * np.sqrt(5.0)
+    boxes = jnp.asarray(
+        np.array([[[30.0, 5.0, 30.0 + w, 5.0 + h]]], np.float32))
+    feats = make_feats(rng, h=256, w=384)
+
+    lvl0 = int(np.asarray(fpn_map_rois_to_levels(boxes.reshape(-1, 4)))[0])
+    assert lvl0 == 0  # canonical assignment would pick stride 4
+
+    got = np.asarray(RP.multilevel_roi_align_pallas(
+        list(feats), boxes, (4, 8, 16, 32), 7))
+    # (a) exact at the demoted level (stride 8 fits: 241/8 = 30 <= 46)
+    ref_demoted = np.asarray(jax.vmap(
+        lambda f2, f3, f4, f5, bx: multilevel_roi_align(
+            [f2, f3, f4, f5], bx, (4, 8, 16, 32), 7,
+            levels=jnp.ones(bx.shape[0], jnp.int32)))(
+        feats[0], feats[1], feats[2], feats[3], boxes))
+    np.testing.assert_allclose(got, ref_demoted, atol=1e-4)
+
+    # (b) on a smooth pyramid, demotion approximates the original-level
+    # value; the old zero-filling lost ~half the box
+    yy, xx = np.mgrid[0:256, 0:384].astype(np.float32)
+    base = np.sin(yy / 40.0) + np.cos(xx / 50.0)
+    smooth = [jnp.asarray(base[None, ::2 ** i, ::2 ** i, None]
+                          .repeat(16, -1)) for i in range(4)]
+    got_s = np.asarray(RP.multilevel_roi_align_pallas(
+        list(smooth), boxes, (4, 8, 16, 32), 7))
+    ref_s = np.asarray(jax.vmap(
+        lambda f2, f3, f4, f5, bx: multilevel_roi_align(
+            [f2, f3, f4, f5], bx, (4, 8, 16, 32), 7))(
+        smooth[0], smooth[1], smooth[2], smooth[3], boxes))
+    rel = np.abs(got_s - ref_s).max() / np.abs(ref_s).max()
+    assert rel < 0.2, rel
+    # the old behavior zeroed the lower part of the box entirely
+    assert np.abs(got_s[0, 0, -1]).max() > 0.1
 
 
 def test_trainable_vjp_matches_xla_grads():

@@ -51,6 +51,31 @@ def test_runner_order_and_roundtrip():
     assert metas == list(range(7))  # order preserved through the pipeline
 
 
+def test_temporal_delta_roundtrip_exact_with_wraparound():
+    """Host uint8-wraparound diffs + device mod-256 cumsum must be
+    bit-exact, including values that wrap past 0/255."""
+    rng = np.random.RandomState(1)
+    frames = rng.randint(0, 256, (8, 6, 7), np.uint8)
+    frames[3] = 255; frames[4] = 0  # forced wrap
+    enc = DetectionRunner.encode_delta(frames)
+    dec = (jnp.cumsum(jnp.asarray(enc).astype(jnp.uint32), axis=0)
+           % 256).astype(jnp.uint8)
+    np.testing.assert_array_equal(np.asarray(dec), frames)
+
+
+def test_runner_delta_matches_nodelta():
+    model = FakeModel()
+    rng = np.random.RandomState(2)
+    batches = [(rng.randint(0, 256, (4, 8, 8, 3)).astype(np.uint8), i)
+               for i in range(3)]
+    out_d = [h["final_boxes"] for h, _ in DetectionRunner(
+        model, {}, temporal_delta=True).run(iter(batches))]
+    out_n = [h["final_boxes"] for h, _ in DetectionRunner(
+        model, {}, temporal_delta=False).run(iter(batches))]
+    for a, b in zip(out_d, out_n):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_runner_empty_iterator():
     runner = DetectionRunner(FakeModel(), params={}, depth=2)
     assert list(runner.run(iter([]))) == []

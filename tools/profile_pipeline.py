@@ -9,9 +9,13 @@ bottleneck before touching kernels.
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def sync(x):
