@@ -41,6 +41,9 @@ def get_args(argv=None):
     p.add_argument("--max_size", type=int, default=1920)
     p.add_argument("--short_edge_size", type=int, default=1080)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--add_mask", action="store_true",
+                   help="train the Mask-RCNN head (needs 'masks' in the "
+                   "npz annotations or COCO polygons)")
     # train
     p.add_argument("--init_lr", type=float, default=0.003)
     p.add_argument("--optimizer", default="momentum")
@@ -66,7 +69,7 @@ def build(args, is_train: bool):
         resnet_depth=50 if args.resnet50 else 101,
         short_edge_size=args.short_edge_size, max_size=args.max_size,
         compute_dtype=args.compute_dtype, is_train=is_train,
-        freeze=args.freeze)
+        freeze=args.freeze, add_mask=getattr(args, "add_mask", False))
     return cfg, get_model(cfg)
 
 
@@ -207,7 +210,8 @@ def mode_train(args):
     ds = DetectionTrainDataset(
         args.trainlst, args.framepath, args.annopath, cfg.classname2id,
         cfg.short_edge_size, cfg.max_size, batch_size=args.im_batch_size,
-        max_gt=args.max_gt, flip_prob=args.flip_prob)
+        max_gt=args.max_gt, flip_prob=args.flip_prob,
+        with_masks=cfg.add_mask)
     steps_per_epoch = max(1, ds.num_samples // args.im_batch_size)
     total_steps = steps_per_epoch * args.num_epochs
     print(f"{ds.num_samples} samples, {total_steps} steps")
@@ -245,11 +249,12 @@ def mode_train(args):
     step = start_step
     t0 = time.time()
     with mesh:
-        for images, gt_boxes, gt_labels, gt_valid in ds.batches(
-                args.num_epochs):
+        for batch in ds.batches(args.num_epochs):
+            images, gt_boxes, gt_labels, gt_valid = batch[:4]
+            gt_masks = batch[4] if cfg.add_mask else None
             rng, sub = jax.random.split(rng)
             state, losses = step_fn(state, images, gt_boxes, gt_labels,
-                                    gt_valid, sub)
+                                    gt_valid, sub, gt_masks)
             step += 1
             loss_ma.append(float(losses["total_loss"]))
             if step % 100 == 0:

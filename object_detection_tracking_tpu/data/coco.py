@@ -37,8 +37,11 @@ def load_coco_annotations(json_path: str, image_dir: str,
         if name is None or name not in classname2id:
             continue
         x, y, w, h = ann["bbox"]
+        seg = ann.get("segmentation")
+        if not isinstance(seg, list):  # RLE crowd segs are filtered above
+            seg = None
         per_image[ann["image_id"]].append(
-            (x, y, x + w, y + h, classname2id[name]))
+            ((x, y, x + w, y + h, classname2id[name]), seg))
     samples = []
     for img_id, rows in per_image.items():
         info = images.get(img_id)
@@ -47,9 +50,10 @@ def load_coco_annotations(json_path: str, image_dir: str,
         path = os.path.join(image_dir, info["file_name"])
         if not os.path.exists(path):
             continue
-        arr = np.asarray(rows, np.float32)
+        arr = np.asarray([r for r, _ in rows], np.float32)
+        segs = [s for _, s in rows]
         samples.append((path, arr[:, :4],
-                        arr[:, 4].astype(np.int32)))
+                        arr[:, 4].astype(np.int32), segs))
     return samples
 
 
@@ -63,7 +67,7 @@ class CocoTrainDataset(DetectionTrainDataset):
         # bypass the lst/npz discovery of the parent
         self.coco_samples = load_coco_annotations(
             json_path, image_dir, classname2id, name_mapping)
-        self.samples = [(p, None) for p, _, _ in self.coco_samples]
+        self.samples = [(p, None) for p, _, _, _ in self.coco_samples]
         self.classname2id = classname2id
         self.short_edge_size = short_edge_size
         self.max_size = max_size
@@ -72,6 +76,8 @@ class CocoTrainDataset(DetectionTrainDataset):
         self.shuffle = kw.get("shuffle", True)
         self.flip_prob = kw.get("flip_prob", 0.5)
         self.use_mixup = kw.get("use_mixup", False)
+        self.with_masks = kw.get("with_masks", False)
+        self.mask_size = kw.get("mask_size", 28)
         import random
         self.rng = random.Random(kw.get("seed", 0))
         self.num_samples = len(self.samples)
@@ -79,10 +85,22 @@ class CocoTrainDataset(DetectionTrainDataset):
     def _load_one(self, img_path, _anno_path, flip):
         import cv2
         from ..ops.boxes import get_new_hw
-        idx = next(i for i, (p, _, _) in enumerate(self.coco_samples)
+        idx = next(i for i, (p, _, _, _) in enumerate(self.coco_samples)
                    if p == img_path)
-        _, boxes, labels = self.coco_samples[idx]
+        _, boxes, labels, segs = self.coco_samples[idx]
         boxes = boxes.copy()
+        masks = None
+        if self.with_masks:
+            # rasterize polygons in ORIGINAL image coords against the
+            # original box — box-local masks are scale-invariant, so the
+            # resize below needs no mask work
+            from ..utils.masks import polys_to_box_mask
+            ms = self.mask_size
+            masks = np.stack([
+                polys_to_box_mask(seg, box, ms) if seg else
+                np.zeros((ms, ms), np.float32)
+                for seg, box in zip(segs, boxes)
+            ]) if len(boxes) else np.zeros((0, ms, ms), np.float32)
         im = cv2.imread(img_path, cv2.IMREAD_COLOR)
         h, w = im.shape[:2]
         neww, newh = get_new_hw(h, w, self.short_edge_size, self.max_size)
@@ -95,4 +113,8 @@ class CocoTrainDataset(DetectionTrainDataset):
             x1 = neww - boxes[:, 2]
             x2 = neww - boxes[:, 0]
             boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
+            if masks is not None:
+                masks = masks[:, :, ::-1].copy()
+        if masks is not None:
+            return im, boxes, labels.copy(), masks
         return im, boxes, labels.copy()

@@ -65,10 +65,28 @@ def _draw_shape(rng, img, cls: int) -> Tuple[float, float, float, float]:
     return box
 
 
+def shape_box_mask(cls: int, ms: int = 28) -> np.ndarray:
+    """Box-local instance mask of a shape class on an ms x ms grid."""
+    m = np.zeros((ms, ms), np.uint8)
+    if cls == 0:      # circle inscribed in the box
+        yy, xx = np.mgrid[0:ms, 0:ms].astype(np.float32) + 0.5
+        r = ms / 2.0
+        m[((yy - r) ** 2 + (xx - r) ** 2) <= r * r] = 1
+    elif cls == 1:    # square fills the box
+        m[:] = 1
+    else:             # triangle (apex top-center)
+        pts = np.array([[ms // 2, 0], [0, ms - 1], [ms - 1, ms - 1]],
+                       np.int32)
+        cv2.fillPoly(m, [pts], 1)
+    return m.astype(np.float32)
+
+
 def generate_dataset(out_dir: str, num_images: int, image_hw=(160, 160),
                      max_objects: int = 4, seed: int = 0,
-                     prefix: str = "im") -> str:
-    """Write frames/ + anno/ + a .lst file; returns the lst path."""
+                     prefix: str = "im", with_masks: bool = True) -> str:
+    """Write frames/ + anno/ + a .lst file; returns the lst path.
+    Annotations carry box-local 28x28 instance masks ('masks' key) so the
+    Mask-RCNN head is trainable on this data too."""
     if cv2 is None:
         raise RuntimeError("cv2 required")
     frames = os.path.join(out_dir, "frames")
@@ -80,7 +98,7 @@ def generate_dataset(out_dir: str, num_images: int, image_hw=(160, 160),
     names = []
     for i in range(num_images):
         img = _textured_background(rng, h, w)
-        boxes, labels = [], []
+        boxes, labels, masks = [], [], []
         for _ in range(int(rng.randint(1, max_objects + 1))):
             cls = int(rng.randint(0, len(SHAPE_CLASSES)))
             # reject heavy overlap so the gt stays unambiguous
@@ -94,12 +112,16 @@ def generate_dataset(out_dir: str, num_images: int, image_hw=(160, 160),
             _draw_shape_at(img, cls, box, rng)
             boxes.append(box)
             labels.append(SHAPE_CLASSES[cls])
+            masks.append(shape_box_mask(cls))
         name = f"{prefix}{i:05d}"
         cv2.imwrite(os.path.join(frames, name + ".jpg"), img,
                     [cv2.IMWRITE_JPEG_QUALITY, 95])
-        np.savez(os.path.join(annos, name + ".npz"),
-                 boxes=np.asarray(boxes, np.float32).reshape(-1, 4),
-                 labels=np.asarray(labels))
+        anno = dict(boxes=np.asarray(boxes, np.float32).reshape(-1, 4),
+                    labels=np.asarray(labels))
+        if with_masks:
+            anno["masks"] = np.asarray(masks, np.float32).reshape(
+                -1, 28, 28)
+        np.savez(os.path.join(annos, name + ".npz"), **anno)
         names.append(name)
     lst = os.path.join(out_dir, f"{prefix}.lst")
     with open(lst, "w") as f:

@@ -45,7 +45,8 @@ class DetectionTrainDataset:
                  classname2id: Dict[str, int], short_edge_size: int,
                  max_size: int, batch_size: int = 1, max_gt: int = 100,
                  shuffle: bool = True, seed: int = 0,
-                 flip_prob: float = 0.5, use_mixup: bool = False):
+                 flip_prob: float = 0.5, use_mixup: bool = False,
+                 with_masks: bool = False, mask_size: int = 28):
         with open(lst_file) as f:
             names = [l.strip() for l in f if l.strip()]
         self.samples = []
@@ -65,6 +66,11 @@ class DetectionTrainDataset:
         # mixup (reference models.py get_feed_dict mixup branch): blend two
         # frames with a Beta(1.5, 1.5) weight and take the union of boxes
         self.use_mixup = use_mixup
+        # instance masks for Mask-RCNN training: box-local [G, ms, ms]
+        # rasterizations (npz key "masks"; COCO polygons rasterized by the
+        # CocoTrainDataset subclass)
+        self.with_masks = with_masks
+        self.mask_size = mask_size
         self.rng = random.Random(seed)
         self.num_samples = len(self.samples)
 
@@ -88,13 +94,27 @@ class DetectionTrainDataset:
             else:
                 labels.append(int(lab))
         labels = np.asarray(labels, np.int32)
+        masks = None
+        if self.with_masks:
+            ms = self.mask_size
+            if "masks" in anno:
+                masks = np.asarray(anno["masks"],
+                                   np.float32).reshape(-1, ms, ms)
+            else:
+                masks = np.zeros((len(labels), ms, ms), np.float32)
         keep = labels > 0
         boxes, labels = boxes[keep], labels[keep]
+        if masks is not None:
+            masks = masks[keep]
         if flip:
             im = im[:, ::-1].copy()
             x1 = neww - boxes[:, 2]
             x2 = neww - boxes[:, 0]
             boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
+            if masks is not None:
+                masks = masks[:, :, ::-1].copy()
+        if masks is not None:
+            return im, boxes, labels, masks
         return im, boxes, labels
 
     def batches(self, epochs: int = 1, pad_last: bool = False,
@@ -118,14 +138,17 @@ class DetectionTrainDataset:
                 idxs = order[s:s + self.batch_size]
                 n_real = len(idxs)
                 idxs = idxs + [idxs[-1]] * (self.batch_size - n_real)
-                ims, gts, labs = [], [], []
+                ims, gts, labs, msks = [], [], [], []
                 for i in idxs:
                     flip = self.shuffle and \
                         self.rng.random() < self.flip_prob
-                    im, b, l = self._load_one(*self.samples[i], flip)
+                    loaded = self._load_one(*self.samples[i], flip)
+                    im, b, l = loaded[:3]
+                    m = loaded[3] if len(loaded) > 3 else None
                     if self.use_mixup:
                         j = self.rng.randrange(self.num_samples)
-                        im2, b2, l2 = self._load_one(*self.samples[j], flip)
+                        loaded2 = self._load_one(*self.samples[j], flip)
+                        im2, b2, l2 = loaded2[:3]
                         lam = self.rng.betavariate(1.5, 1.5)
                         hmin = min(im.shape[0], im2.shape[0])
                         wmin = min(im.shape[1], im2.shape[1])
@@ -136,9 +159,12 @@ class DetectionTrainDataset:
                               ).astype(np.uint8)
                         b = np.concatenate([b, b2], axis=0)
                         l = np.concatenate([l, l2], axis=0)
+                        if m is not None:
+                            m = np.concatenate([m, loaded2[3]], axis=0)
                     ims.append(im)
                     gts.append(b)
                     labs.append(l)
+                    msks.append(m)
                 hmax = max(im.shape[0] for im in ims)
                 wmax = max(im.shape[1] for im in ims)
                 if pad_to is not None:
@@ -150,15 +176,21 @@ class DetectionTrainDataset:
                 gt_boxes = np.zeros((len(ims), g, 4), np.float32)
                 gt_labels = np.zeros((len(ims), g), np.int32)
                 gt_valid = np.zeros((len(ims), g), bool)
-                for bi, (im, b, l) in enumerate(zip(ims, gts, labs)):
+                gt_masks = np.zeros(
+                    (len(ims), g, self.mask_size, self.mask_size),
+                    np.float32) if self.with_masks else None
+                for bi, (im, b, l, m) in enumerate(
+                        zip(ims, gts, labs, msks)):
                     images[bi, :im.shape[0], :im.shape[1]] = im
                     n = min(len(b), g)
                     gt_boxes[bi, :n] = b[:n]
                     gt_labels[bi, :n] = l[:n]
                     gt_valid[bi, :n] = True
+                    if gt_masks is not None and m is not None:
+                        gt_masks[bi, :n] = m[:n]
+                parts = [images, gt_boxes, gt_labels, gt_valid]
+                if gt_masks is not None:
+                    parts.append(gt_masks)
                 if yield_batch_valid:
-                    batch_valid = np.arange(len(ims)) < n_real
-                    yield (images, gt_boxes, gt_labels, gt_valid,
-                           batch_valid)
-                else:
-                    yield images, gt_boxes, gt_labels, gt_valid
+                    parts.append(np.arange(len(ims)) < n_real)
+                yield tuple(parts)

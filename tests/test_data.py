@@ -173,3 +173,63 @@ def test_coco_train_dataset(tmp_path):
     assert gt_valid.sum() == 2  # one mapped box per image
     assert set(gt_labels[gt_valid].tolist()) == {1}
     np.testing.assert_allclose(gt_boxes[0][0], [10, 10, 30, 25])
+
+
+def test_coco_train_dataset_with_polygon_masks(tmp_path):
+    from object_detection_tracking_tpu.data.coco import CocoTrainDataset
+    import json
+    cv2.imwrite(str(tmp_path / "im0.jpg"),
+                np.full((40, 60, 3), 100, np.uint8))
+    # a polygon covering the LEFT half of its bbox [10,10,30,26]
+    coco = {
+        "images": [{"id": 1, "file_name": "im0.jpg"}],
+        "categories": [{"id": 7, "name": "car"}],
+        "annotations": [
+            {"image_id": 1, "category_id": 7, "bbox": [10, 10, 20, 16],
+             "iscrowd": 0,
+             "segmentation": [[10, 10, 20, 10, 20, 26, 10, 26]]},
+        ],
+    }
+    (tmp_path / "ann.json").write_text(json.dumps(coco))
+    ds = CocoTrainDataset(
+        str(tmp_path / "ann.json"), str(tmp_path),
+        {"BG": 0, "Vehicle": 1}, 40, 60,
+        name_mapping={"car": "Vehicle"}, batch_size=1, max_gt=4,
+        shuffle=False, flip_prob=0.0, with_masks=True)
+    images, gt_boxes, gt_labels, gt_valid, gt_masks = next(ds.batches())
+    assert gt_masks.shape == (1, 4, 28, 28)
+    m = gt_masks[0, 0]
+    assert m[:, :12].mean() > 0.9   # left half on
+    assert m[:, 16:].mean() < 0.1   # right half off
+
+
+def test_training_dataset_masks_and_flip(tmp_path):
+    from object_detection_tracking_tpu.data.synthetic import generate_dataset
+    from object_detection_tracking_tpu.data.training import (
+        DetectionTrainDataset)
+    lst = generate_dataset(str(tmp_path), 4, image_hw=(64, 96), seed=1)
+    cls = {"BG": 0, "Person": 1, "Vehicle": 2, "Bike": 3}
+    ds = DetectionTrainDataset(
+        lst, str(tmp_path / "frames"), str(tmp_path / "anno"), cls,
+        64, 96, batch_size=2, max_gt=6, shuffle=False, flip_prob=0.0,
+        with_masks=True)
+    images, gt_boxes, gt_labels, gt_valid, gt_masks = next(ds.batches())
+    assert gt_masks.shape == (2, 6, 28, 28)
+    assert gt_masks[gt_valid].max() == 1.0
+    # flip flips the box-local mask left-right: check with a triangle
+    # (asymmetric would be better, but triangle masks are symmetric; use
+    # a hand-made asymmetric npz instead)
+    import numpy as np
+    m = np.zeros((28, 28), np.float32); m[:, :14] = 1
+    cv2.imwrite(str(tmp_path / "frames" / "x.jpg"),
+                np.zeros((64, 96, 3), np.uint8))
+    np.savez(str(tmp_path / "anno" / "x.npz"),
+             boxes=np.array([[10, 10, 40, 40]], np.float32),
+             labels=np.array(["Person"]), masks=m[None])
+    (tmp_path / "x.lst").write_text("x\n")
+    ds2 = DetectionTrainDataset(
+        str(tmp_path / "x.lst"), str(tmp_path / "frames"),
+        str(tmp_path / "anno"), cls, 64, 96, batch_size=1, max_gt=2,
+        shuffle=False, flip_prob=0.0, with_masks=True)
+    im, b, l, mk = ds2._load_one(*ds2.samples[0], flip=True)
+    assert mk[0][:, 14:].mean() == 1.0 and mk[0][:, :14].mean() == 0.0
