@@ -93,21 +93,23 @@ class EfficientDet:
         c = self.fpn_filters
         params: Dict = {"backbone": init_efficientnet(r_bb,
                                                       self.backbone_name)}
-        # channel-matching 1x1s for backbone feats + extra P6/P7 resamples
         from .efficientnet import scaled_block_args
         args = scaled_block_args(self.backbone_name)
         c3, c4, c5 = args[2][4], args[4][4], args[6][4]
-        rs = jax.random.split(r_resample, 6)
-        params["resample"] = {}
-        for i, cin in enumerate((c3, c4, c5)):
-            p = init_conv(rs[i], 1, cin, c, use_bias=True, w_init="xavier1")
-            p["bn"] = init_bn(c)
-            params["resample"][f"p{i + 3}"] = p
-        p6 = init_conv(rs[3], 1, c5, c, use_bias=True, w_init="xavier1")
+        raw_ch = {0: c3, 1: c4, 2: c5}   # input node id -> raw channels
+        # P6 input: 1x1 C5->C + bn + maxpool (reference resample_p6); P7 is
+        # a further maxpool with no variables (resample_p7)
+        rs = jax.random.split(r_resample, 2)
+        p6 = init_conv(rs[0], 1, c5, c, use_bias=True, w_init="xavier1")
         p6["bn"] = init_bn(c)
-        params["resample"]["p6"] = p6
+        params["resample"] = {"p6": p6}
 
-        # BiFPN cells
+        # BiFPN cells. Raw backbone levels (P3-P5 at backbone channels)
+        # enter cell_0 directly; each fnode input that touches one gets its
+        # OWN channel-matching 1x1+bn, scoped like the reference
+        # ("resample_{input_idx}_{offset}_{new_node_id}",
+        # efficientdet_arch.py:612-616) — weight-isomorphic with published
+        # checkpoints (a level consumed by two fnodes has two 1x1s).
         cells = {}
         for rep in range(self.fpn_repeats):
             rc = jax.random.split(jax.random.fold_in(r_fpn, rep),
@@ -118,6 +120,15 @@ class EfficientDet:
                 node["bn"] = init_bn(c)
                 if self.fusion == "fastattn":
                     node["wsm"] = jnp.ones((len(inputs),), jnp.float32)
+                if rep == 0:
+                    for idx, off in enumerate(inputs):
+                        if off in raw_ch:
+                            rp = init_conv(
+                                jax.random.fold_in(rc[ni], idx), 1,
+                                raw_ch[off], c, use_bias=True,
+                                w_init="xavier1")
+                            rp["bn"] = init_bn(c)
+                            node[f"resample_{idx}_{off}_{5 + ni}"] = rp
                 cell[f"fnode{ni}"] = node
             cells[f"cell_{rep}"] = cell
         params["fpn_cells"] = cells
@@ -159,15 +170,22 @@ class EfficientDet:
         return x.astype(jnp.dtype(self.config.compute_dtype))
 
     def _bifpn_cell(self, cell, feats: List[jnp.ndarray]):
-        """feats: P3..P7 (ids 0..4); returns new P3..P7."""
+        """feats: P3..P7 (ids 0..4); returns new P3..P7. Cell-0 inputs may
+        carry raw backbone channels — each fnode's lazy 1x1+bn (reference
+        resample_feature_map: conv BEFORE the spatial resample) fixes them.
+        """
         nodes = list(feats)
         sizes = [f.shape[1] for f in feats]
         for ni, (lvl, inputs) in enumerate(BIFPN_NODES):
             p = cell[f"fnode{ni}"]
             target = sizes[lvl - MIN_LEVEL]
             resampled = []
-            for off in inputs:
+            for idx, off in enumerate(inputs):
                 n = nodes[off]
+                rkey = f"resample_{idx}_{off}_{5 + ni}"
+                if rkey in p:
+                    rp = p[rkey]
+                    n = frozen_bn(rp["bn"], conv2d(rp, n))
                 if n.shape[1] > target:       # downsample by 2
                     n = max_pool(n, 3, 2, padding=((1, 0), (1, 0)))
                 elif n.shape[1] < target:     # upsample by 2
@@ -274,13 +292,12 @@ class EfficientDet:
         c3, c4, c5 = efficientnet_c345(params["backbone"], x,
                                        self.backbone_name)
         rp = params["resample"]
-        p3 = frozen_bn(rp["p3"]["bn"], conv2d(rp["p3"], c3))
-        p4 = frozen_bn(rp["p4"]["bn"], conv2d(rp["p4"], c4))
-        p5 = frozen_bn(rp["p5"]["bn"], conv2d(rp["p5"], c5))
+        # raw P3-P5 enter cell_0 at backbone channels (channel matching
+        # happens per-fnode inside the cell, mirroring the reference graph)
         p6 = frozen_bn(rp["p6"]["bn"], conv2d(rp["p6"], c5))
         p6 = max_pool(p6, 3, 2, padding=((1, 0), (1, 0)))
         p7 = max_pool(p6, 3, 2, padding=((1, 0), (1, 0)))
-        feats = [p3, p4, p5, p6, p7]
+        feats = [c3, c4, c5, p6, p7]
         for rep in range(self.fpn_repeats):
             feats = self._bifpn_cell(params["fpn_cells"][f"cell_{rep}"],
                                      feats)

@@ -150,11 +150,23 @@ def load_npz(path: str, model) -> Dict:
     return jax.tree.map(jax.numpy.asarray, params)
 
 
+def _is_efficientdet(model) -> bool:
+    return hasattr(model, "fpn_repeats") and hasattr(model, "backbone_name")
+
+
 def load_weights(path: str, model) -> Dict:
     """Dispatch on checkpoint flavor (reference initialize,
-    models.py:3489-3595 handles ckpt dir / single .ckpt / .npz)."""
+    models.py:3489-3595 handles ckpt dir / single .ckpt / .npz; automl
+    EfficientDet ckpts per efficientdet_wrapper.py)."""
     if path.endswith(".npz"):
         keys = np.load(path).files
+        if _is_efficientdet(model) and any(
+                k.split(":")[0].startswith(
+                    ("efficientnet-", "fpn_cells/", "resample_p6/"))
+                for k in keys[:80]):
+            from .effdet_weights import load_effdet_reference
+            return load_effdet_reference(dict(np.load(path)), model,
+                                         source=path)
         if any(k.endswith(":0") or k.startswith(
                 ("group0/", "conv0/", "fpn/", "rpn/", "fastrcnn/"))
                and "resnet/" not in k for k in keys[:50]):
@@ -167,8 +179,11 @@ def load_weights(path: str, model) -> Dict:
     if (os.path.isdir(path) or path.endswith(".index") or
             os.path.exists(path + ".index")):
         from .tf_ckpt import load_tf_checkpoint
-        return load_reference_dict(load_tf_checkpoint(path), model,
-                                   source=path)
+        tensors = load_tf_checkpoint(path)
+        if _is_efficientdet(model):
+            from .effdet_weights import load_effdet_reference
+            return load_effdet_reference(tensors, model, source=path)
+        return load_reference_dict(tensors, model, source=path)
     raise ValueError(f"unsupported checkpoint format: {path} "
                      "(expected .npz, a TF ckpt prefix/.index, or a ckpt "
                      "directory)")
