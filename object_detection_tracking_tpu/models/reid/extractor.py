@@ -21,16 +21,26 @@ except ImportError:  # pragma: no cover
 import jax
 import jax.numpy as jnp
 
-from .osnet import osnet_forward
+from .mobilenetv2 import mobilenetv2_forward
+from .osnet import osnet_ain_forward, osnet_forward
 from .resnet_reid import resnet_reid_forward
 
 _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 FORWARDS = {
+    # osnet widths share one forward — channel widths come from the ckpt
     "osnet_x1_0": osnet_forward,
+    "osnet_x0_75": osnet_forward,
+    "osnet_x0_5": osnet_forward,
+    "osnet_x0_25": osnet_forward,
+    "osnet_ain_x1_0": osnet_ain_forward,
     "resnet50": lambda p, x: resnet_reid_forward(p, x, "resnet50"),
     "resnet101": lambda p, x: resnet_reid_forward(p, x, "resnet101"),
+    "resnet50_fc512": lambda p, x: resnet_reid_forward(
+        p, x, "resnet50_fc512"),
+    "mobilenetv2_x1_0": mobilenetv2_forward,
+    "mobilenetv2_x1_4": mobilenetv2_forward,
 }
 
 

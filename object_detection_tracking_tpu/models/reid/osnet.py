@@ -66,6 +66,15 @@ def _os_block(p, pre, x):
     return jax.nn.relu(x3 + identity)
 
 
+def _fc_head(p, x):
+    v = global_avg_pool(x).astype(jnp.float32)
+    v = linear(p, "fc.0", v)
+    # BN1d
+    scale = p["fc.1.weight"] / jnp.sqrt(p["fc.1.running_var"] + 1e-5)
+    v = v * scale + (p["fc.1.bias"] - p["fc.1.running_mean"] * scale)
+    return jax.nn.relu(v)
+
+
 def osnet_forward(p, images: jnp.ndarray) -> jnp.ndarray:
     """images: [B, 256, 128, 3] normalized RGB NHWC -> features [B, 512]."""
     x = _conv_layer(p, "conv1", images, stride=2, padding=3)
@@ -77,9 +86,62 @@ def osnet_forward(p, images: jnp.ndarray) -> jnp.ndarray:
             x = _conv1x1(p, f"{stage}.2.0", x)
             x = avg_pool2(x)
     x = _conv1x1(p, "conv5", x)
-    v = global_avg_pool(x).astype(jnp.float32)
-    v = linear(p, "fc.0", v)
-    # BN1d
-    scale = p["fc.1.weight"] / jnp.sqrt(p["fc.1.running_var"] + 1e-5)
-    v = v * scale + (p["fc.1.bias"] - p["fc.1.running_mean"] * scale)
-    return jax.nn.relu(v)
+    return _fc_head(p, x)
+
+
+# --------------------------------------------------------------------------
+# OSNet-AIN (Zhou et al., TPAMI 2021; torchreid/models/osnet_ain.py):
+# instance normalization in the stem and inside selected blocks, and
+# LightConvStream naming (conv2.{t}.layers.{i}) for the omni-scale streams.
+
+
+def _instance_norm(p, pre, x):
+    """Affine InstanceNorm2d, eval mode (per-sample HW statistics)."""
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    xn = (x - mean) / jnp.sqrt(var + 1e-5)
+    return xn * p[pre + ".weight"].astype(x.dtype) + \
+        p[pre + ".bias"].astype(x.dtype)
+
+
+def _os_block_ain(p, pre, x, inin: bool):
+    identity = x
+    x1 = _conv1x1(p, pre + ".conv1", x)
+    x2 = None
+    for t in range(4):   # T=4 streams; stream t chains t+1 LightConv3x3
+        xt = x1
+        for i in range(t + 1):
+            xt = _light_conv3x3(p, f"{pre}.conv2.{t}.layers.{i}", xt)
+        g = _channel_gate(p, pre + ".gate", xt)
+        x2 = g if x2 is None else x2 + g
+    if inin:
+        # OSBlockINin: conv3 has no bn; affine IN inside the residual
+        x3 = conv(p, pre + ".conv3.conv", x2)
+        x3 = _instance_norm(p, pre + ".IN", x3)
+    else:
+        x3 = _conv1x1_linear(p, pre + ".conv3", x2)
+    if pre + ".downsample.conv.weight" in p:
+        identity = _conv1x1_linear(p, pre + ".downsample", identity)
+    return jax.nn.relu(x3 + identity)
+
+
+# per-stage OSBlockINin flags for osnet_ain_x1_0 (osnet_ain.py:524-537)
+_AIN_BLOCKS = {"conv2": (True, True), "conv3": (False, True),
+               "conv4": (True, False)}
+
+
+def osnet_ain_forward(p, images: jnp.ndarray) -> jnp.ndarray:
+    """osnet_ain_x1_0: IN stem + mixed OSBlock/OSBlockINin stages with
+    separate pool2/pool3 transitions."""
+    x = conv(p, "conv1.conv", images, stride=2, padding=3)
+    x = jax.nn.relu(_instance_norm(p, "conv1.bn", x))
+    x = max_pool(x, 3, 2, 1)
+    for stage in ("conv2", "conv3", "conv4"):
+        for i, inin in enumerate(_AIN_BLOCKS[stage]):
+            x = _os_block_ain(p, f"{stage}.{i}", x, inin)
+        if stage != "conv4":
+            pool = "pool2" if stage == "conv2" else "pool3"
+            x = _conv1x1(p, f"{pool}.0", x)
+            x = avg_pool2(x)
+    x = _conv1x1(p, "conv5", x)
+    return _fc_head(p, x)

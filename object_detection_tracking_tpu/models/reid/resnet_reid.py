@@ -10,9 +10,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import bn, conv, global_avg_pool, max_pool
+import jax.numpy as _jnp
 
-LAYERS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+from .common import bn, conv, global_avg_pool, linear, max_pool
+
+LAYERS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
+          "resnet50_fc512": (3, 4, 6, 3)}
+# resnet50_fc512 keeps layer4 at stride 1 and adds a 512-d fc head
+# (torchreid/models/resnet.py:517-527)
+LAST_STRIDE = {"resnet50_fc512": 1}
 
 
 def _bottleneck(p, pre, x, stride: int):
@@ -32,11 +38,16 @@ def resnet_reid_forward(p, images: jnp.ndarray,
                         depth: str = "resnet101") -> jnp.ndarray:
     """images: [B, 256, 128, 3] normalized RGB NHWC -> features [B, 2048]."""
     layers = LAYERS[depth]
+    last_stride = LAST_STRIDE.get(depth, 2)
     x = jax.nn.relu(bn(p, "bn1", conv(p, "conv1", images, stride=2,
                                       padding=3)))
     x = max_pool(x, 3, 2, 1)
     for li, n_blocks in enumerate(layers, start=1):
         for b in range(n_blocks):
-            stride = 2 if (b == 0 and li > 1) else 1
+            stride = 1 if (li == 1 or b > 0) else (
+                last_stride if li == 4 else 2)
             x = _bottleneck(p, f"layer{li}.{b}", x, stride)
-    return global_avg_pool(x).astype(jnp.float32)
+    v = global_avg_pool(x)
+    if "fc.0.weight" in p:   # fc_dims head: Linear + BN1d + ReLU
+        v = _jnp.maximum(bn(p, "fc.1", linear(p, "fc.0", v)), 0.0)
+    return v.astype(jnp.float32)

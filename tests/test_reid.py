@@ -53,6 +53,58 @@ def test_resnet50_reid_parity(tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-3)
 
 
+def test_resnet50_fc512_parity(tmp_path):
+    from torchreid.models.resnet import resnet50_fc512
+    torch.manual_seed(3)
+    net = resnet50_fc512(num_classes=10, pretrained=False).eval()
+    x = torch.randn(2, 3, 256, 128)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "r50fc.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(resnet_reid_forward(
+        _to_jax_params(p), jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))),
+        "resnet50_fc512"))
+    assert got.shape == want.shape == (2, 512)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_mobilenetv2_parity(tmp_path):
+    from torchreid.models.mobilenetv2 import mobilenetv2_x1_0
+    from object_detection_tracking_tpu.models.reid.mobilenetv2 import (
+        mobilenetv2_forward)
+    torch.manual_seed(4)
+    net = mobilenetv2_x1_0(num_classes=10, loss="softmax",
+                           pretrained=False).eval()
+    x = torch.randn(2, 3, 256, 128)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "mnv2.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(mobilenetv2_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 1280)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_osnet_width_variant_parity(tmp_path):
+    """osnet_x0_5 through the same forward (widths from the ckpt)."""
+    from torchreid.models.osnet import osnet_x0_5
+    torch.manual_seed(5)
+    net = osnet_x0_5(num_classes=10, pretrained=False).eval()
+    x = torch.randn(2, 3, 256, 128)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "osnet05.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(osnet_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 512)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
 def test_feature_extractor_end_to_end(tmp_path):
     from torchreid.models.osnet import osnet_x1_0
     from object_detection_tracking_tpu.models.reid import FeatureExtractor
@@ -71,3 +123,20 @@ def test_feature_extractor_end_to_end(tmp_path):
     # deterministic
     feats2 = ex(crops)
     np.testing.assert_allclose(feats, feats2, atol=1e-6)
+
+
+def test_osnet_ain_parity(tmp_path):
+    from torchreid.models.osnet_ain import osnet_ain_x1_0
+    from object_detection_tracking_tpu.models.reid import osnet_ain_forward
+    torch.manual_seed(6)
+    net = osnet_ain_x1_0(num_classes=10, pretrained=False).eval()
+    x = torch.randn(2, 3, 256, 128)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "osnet_ain.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(osnet_ain_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 512)
+    np.testing.assert_allclose(got, want, atol=2e-3)
