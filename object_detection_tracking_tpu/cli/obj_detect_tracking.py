@@ -120,6 +120,8 @@ def build_config(args) -> DetectorConfig:
         overrides.update(short_edge_size=size, max_size=size,
                          efficientdet_name=args.efficientdet_modelname)
         overrides.pop("num_class", None)  # COCO models are always 81
+        if args.use_partial_classes:
+            return DetectorConfig.coco_partial(**overrides)
         return DetectorConfig.coco(**overrides)
     if args.use_partial_classes:
         overrides.pop("num_class", None)

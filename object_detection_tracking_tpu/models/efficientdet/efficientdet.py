@@ -85,6 +85,16 @@ class EfficientDet:
          self.anchor_scale) = EFFICIENTDET_CONFIGS[name]
         self.name = name
         self.num_classes = config.num_class - 1  # sigmoid heads, no BG row
+        # partial-class inference: gather only the tracked classes' score
+        # columns before NMS (reference efficientdet_wrapper.py:398-412);
+        # the heads keep the full class count for checkpoint compatibility
+        if config.partial_classes:
+            from ...class_ids import coco_obj_class_to_id
+            self.partial_score_idx = jnp.asarray(
+                [coco_obj_class_to_id[n] - 1 for n in config.partial_classes],
+                jnp.int32)
+        else:
+            self.partial_score_idx = None
 
     # ------------------------------------------------------------------
 
@@ -239,6 +249,8 @@ class EfficientDet:
         cfg = self.config
         r = cfg.result_per_im
         scores_all = jax.nn.sigmoid(cls_flat)          # [N, C]
+        if self.partial_score_idx is not None:
+            scores_all = scores_all[:, self.partial_score_idx]
         best = scores_all.max(axis=1)
         k = min(2000, best.shape[0])
         _, top_i = jax.lax.top_k(best, k)

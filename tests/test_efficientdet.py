@@ -90,6 +90,45 @@ def test_param_count_golden(name, millions, tol):
     assert abs(n / 1e6 - millions) < tol, (name, n)
 
 
+def test_partial_classes_gather(tiny_effdet):
+    """Partial-class inference (reference efficientdet_wrapper.py:398-412):
+    only the tracked classes' score columns survive, labels renumber into
+    the partial taxonomy, and each kept detection's score matches the full
+    model's score for that class."""
+    cfg, m, params = tiny_effdet
+    pcfg = DetectorConfig.coco_partial(
+        result_per_im=10, compute_dtype="float32",
+        efficientdet_name="efficientdet-test", roi_align_impl="xla")
+    pm = EfficientDet(pcfg, "efficientdet-test")
+    imgs = np.random.RandomState(1).randint(
+        0, 255, (1, 96, 128, 3)).astype(np.uint8)
+    full = m.forward(params, imgs)
+    part = pm.forward(params, imgs)
+    n_partial = len(pcfg.partial_classes)
+    fl = np.asarray(part["final_labels"])[0]
+    fv = np.asarray(part["final_valid"])[0]
+    assert ((fl[fv] >= 1) & (fl[fv] <= n_partial)).all()
+    # every partial detection's (box, score) exists in the full output
+    # restricted to the partial class ids
+    from object_detection_tracking_tpu.class_ids import coco_obj_class_to_id
+    partial_coco_ids = {coco_obj_class_to_id[n]: i + 1
+                        for i, n in enumerate(pcfg.partial_classes)}
+    full_v = np.asarray(full["final_valid"])[0]
+    full_pairs = {
+        (round(float(p), 4), tuple(np.round(b, 2)))
+        for b, l, p in zip(np.asarray(full["final_boxes"])[0][full_v],
+                           np.asarray(full["final_labels"])[0][full_v],
+                           np.asarray(full["final_probs"])[0][full_v])
+        if int(l) in partial_coco_ids}
+    part_pairs = {
+        (round(float(p), 4), tuple(np.round(b, 2)))
+        for b, p in zip(np.asarray(part["final_boxes"])[0][fv],
+                        np.asarray(part["final_probs"])[0][fv])}
+    # the partial model can keep MORE of these classes' boxes (no
+    # competition from the other 77), so require full-side containment
+    assert full_pairs <= part_pairs
+
+
 def test_d6_d7_use_sum_fusion_and_d7_anchor_scale():
     cfg = DetectorConfig.coco(result_per_im=10)
     d6 = EfficientDet(cfg, "efficientdet-d6")
