@@ -72,6 +72,10 @@ def get_args(argv=None):
                         "obj_detect_tracking_multi_queuer_tmot.py)")
     parser.add_argument("--track_max_second_lost", type=float, default=4.0)
     parser.add_argument("--emb_max_dist", type=float, default=0.7)
+    parser.add_argument("--emb_agg_method", default="average",
+                        choices=["average", "avg", "max", "spatial"],
+                        help="7x7 ROI-feature aggregation for tracking "
+                        "embeddings (reference tmot CLI :514-525)")
     parser.add_argument("--tracking_dir", default="/tmp/tracking_dir")
     parser.add_argument("--tracking_objs", default="Person,Vehicle")
     parser.add_argument("--min_confidence", type=float, default=0.85)
@@ -324,7 +328,8 @@ def main(argv=None):
         print("warning: no --model_path, using random weights",
               file=sys.stderr)
         params = model.init_params(jax.random.PRNGKey(0))
-    runner = DetectionRunner(model, params)
+    runner = DetectionRunner(model, params,
+                             emb_agg=args.emb_agg_method)
 
     classid2name = cfg.classid2name
     coco_to_actev = None

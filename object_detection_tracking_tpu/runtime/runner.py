@@ -31,10 +31,18 @@ class DetectionRunner:
                   "final_valid", "pooled_box_feat")
 
     def __init__(self, model, params, depth: int = 2,
-                 temporal_delta: bool = True):
+                 temporal_delta: bool = True, emb_agg: str = "average"):
         self.model = model
         self.params = params
         self.depth = max(1, depth)
+        # tracking-embedding aggregation over the 7x7 ROI feature grid
+        # (reference obj_detect_tracking_multi_queuer_tmot.py:512-525):
+        # average (default) | max | spatial (channel-mean -> 49-d)
+        if emb_agg in ("avg", "average"):
+            emb_agg = "average"
+        elif emb_agg not in ("max", "spatial"):
+            raise ValueError(f"unknown emb_agg {emb_agg!r}")
+        self.emb_agg = emb_agg
         # Lossless inter-frame delta transfer: the host ships frame 0 raw
         # plus uint8-wraparound diffs for frames 1..B-1; the device
         # reconstructs exactly with a mod-256 cumsum inside the jit. The
@@ -67,6 +75,16 @@ class DetectionRunner:
                       % 256).astype(jnp.uint8)
         out = self.model.forward(params, images)
         b, r = out["final_boxes"].shape[:2]
+        if self.emb_agg != "average" and "fpn_box_feat" not in out:
+            raise ValueError(
+                f"emb_agg={self.emb_agg!r} needs the model to output the "
+                "full 7x7 ROI features (fpn_box_feat); this detector only "
+                "provides mean-pooled embeddings")
+        if self.emb_agg == "max":
+            out["pooled_box_feat"] = out["fpn_box_feat"].max(axis=(2, 3))
+        elif self.emb_agg == "spatial":
+            out["pooled_box_feat"] = out["fpn_box_feat"].mean(
+                axis=-1).reshape(b, r, -1)
         small = jnp.concatenate([
             out["final_boxes"],
             out["final_labels"][..., None].astype(jnp.float32),

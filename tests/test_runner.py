@@ -23,13 +23,16 @@ class FakeModel:
         labels = jnp.ones((b, r), jnp.int32)
         probs = jnp.tile(val[:, None] / 255.0, (1, r))
         valid = jnp.ones((b, r), bool)
-        feat = jnp.tile(val[:, None, None], (1, r, c))
+        grid = jnp.arange(7 * 7, dtype=jnp.float32).reshape(1, 1, 7, 7, 1)
+        full = jnp.broadcast_to(grid, (b, r, 7, 7, c)) + \
+            val[:, None, None, None, None]
         return {
             "final_boxes": boxes,
             "final_labels": labels,
             "final_probs": probs,
             "final_valid": valid,
-            "pooled_box_feat": feat,
+            "pooled_box_feat": full.mean(axis=(2, 3)),
+            "fpn_box_feat": full,
         }
 
 
@@ -61,6 +64,23 @@ def test_temporal_delta_roundtrip_exact_with_wraparound():
     dec = (jnp.cumsum(jnp.asarray(enc).astype(jnp.uint32), axis=0)
            % 256).astype(jnp.uint8)
     np.testing.assert_array_equal(np.asarray(dec), frames)
+
+
+def test_runner_emb_agg_modes():
+    """emb_agg: average (7x7 mean, default), max, spatial (channel-mean
+    49-d) — reference tmot CLI :512-525."""
+    model = FakeModel()
+    batch = [(np.zeros((1, 8, 8, 3), np.uint8), 0)]
+    grid = np.arange(49, dtype=np.float32)
+    (h, _), = DetectionRunner(model, {}).run(iter(batch))
+    np.testing.assert_allclose(h["pooled_box_feat"][0, 0],
+                               np.full(8, grid.mean()), atol=0.01)
+    (h, _), = DetectionRunner(model, {}, emb_agg="max").run(iter(batch))
+    np.testing.assert_allclose(h["pooled_box_feat"][0, 0],
+                               np.full(8, 48.0), atol=0.25)
+    (h, _), = DetectionRunner(model, {}, emb_agg="spatial").run(iter(batch))
+    assert h["pooled_box_feat"].shape == (1, 4, 49)
+    np.testing.assert_allclose(h["pooled_box_feat"][0, 0], grid, atol=0.25)
 
 
 def test_runner_delta_matches_nodelta():
