@@ -328,8 +328,16 @@ def main(argv=None):
         print("warning: no --model_path, using random weights",
               file=sys.stderr)
         params = model.init_params(jax.random.PRNGKey(0))
+    mesh = None
+    n_dev = jax.local_device_count()
+    if n_dev > 1 and args.im_batch_size % n_dev == 0:
+        # fan the frame batch out over every chip (one sharded jit; the
+        # reference ran N independent single-GPU processes instead)
+        from ..parallel import make_mesh
+        mesh = make_mesh(n_data=n_dev, n_model=1)
+        print(f"inference sharded over {n_dev} chips")
     runner = DetectionRunner(model, params,
-                             emb_agg=args.emb_agg_method)
+                             emb_agg=args.emb_agg_method, mesh=mesh)
 
     classid2name = cfg.classid2name
     coco_to_actev = None

@@ -31,7 +31,12 @@ class DetectionRunner:
                   "final_valid", "pooled_box_feat")
 
     def __init__(self, model, params, depth: int = 2,
-                 temporal_delta: bool = True, emb_agg: str = "average"):
+                 temporal_delta: bool = True, emb_agg: str = "average",
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — the frame
+        batch is sharded across every chip and XLA runs one program over
+        the mesh (the reference scaled inference out as N independent
+        single-GPU processes, SPEED.md:61; here it's one sharded jit)."""
         self.model = model
         self.params = params
         self.depth = max(1, depth)
@@ -50,7 +55,19 @@ class DetectionRunner:
         # surveillance frames differ in few pixels, so deltas cut the
         # effective transfer cost ~2-4x. Bit-exact (mod-256 arithmetic).
         self.temporal_delta = temporal_delta
-        self._fn = jax.jit(self._fetch_forward)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import (batch_sharding, param_shardings,
+                                         shard_params)
+            self.params = shard_params(params, mesh)
+            self._data_sh = batch_sharding(mesh)
+            self._fn = jax.jit(
+                self._fetch_forward,
+                in_shardings=(param_shardings(self.params, mesh),
+                              self._data_sh),
+                out_shardings=self._data_sh)
+        else:
+            self._fn = jax.jit(self._fetch_forward)
 
     @staticmethod
     def encode_delta(images: np.ndarray) -> np.ndarray:
@@ -147,7 +164,8 @@ class DetectionRunner:
                     return False
                 if self.temporal_delta and images.dtype == np.uint8:
                     images = self.encode_delta(images)
-                puts.append((pool.submit(jax.device_put, images), meta))
+                sh = self._data_sh if self.mesh is not None else None
+                puts.append((pool.submit(jax.device_put, images, sh), meta))
                 return True
 
             it = iter(batches)

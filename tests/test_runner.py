@@ -96,6 +96,34 @@ def test_runner_delta_matches_nodelta():
         np.testing.assert_array_equal(a, b)
 
 
+def test_runner_sharded_mesh_matches_single(tmp_path):
+    """mesh-sharded runner == single-device runner on the real detector
+    (tiny shapes, 8-device virtual CPU mesh)."""
+    import jax
+    from object_detection_tracking_tpu.config import DetectorConfig
+    from object_detection_tracking_tpu.models import get_model
+    from object_detection_tracking_tpu.parallel import make_mesh
+
+    cfg = DetectorConfig(
+        num_class=4, resnet_depth=18, short_edge_size=48, max_size=64,
+        rpn_test_post_nms_topk=32, result_per_im=5,
+        compute_dtype="float32", roi_align_impl="xla")
+    model = get_model(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batches = [(rng.randint(0, 255, (8, 48, 64, 3)).astype(np.uint8), i)
+               for i in range(2)]
+    single = [h for h, _ in DetectionRunner(
+        model, params).run(iter(batches))]
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded = [h for h, _ in DetectionRunner(
+        model, params, mesh=mesh).run(iter(batches))]
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(a["final_boxes"], b["final_boxes"],
+                                   atol=1e-3)
+        np.testing.assert_array_equal(a["final_labels"], b["final_labels"])
+
+
 def test_runner_empty_iterator():
     runner = DetectionRunner(FakeModel(), params={}, depth=2)
     assert list(runner.run(iter([]))) == []
