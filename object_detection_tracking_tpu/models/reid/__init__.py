@@ -8,6 +8,8 @@ layer-by-layer against torch (cpu) in tests.
 """
 
 from .extractor import FeatureExtractor  # noqa: F401
+from .ibn_reid import ibn_reid_forward  # noqa: F401
 from .mobilenetv2 import mobilenetv2_forward  # noqa: F401
 from .osnet import osnet_ain_forward, osnet_forward  # noqa: F401
 from .resnet_reid import resnet_reid_forward  # noqa: F401
+from .senet_reid import senet_reid_forward  # noqa: F401

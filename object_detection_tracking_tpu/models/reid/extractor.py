@@ -21,9 +21,11 @@ except ImportError:  # pragma: no cover
 import jax
 import jax.numpy as jnp
 
+from .ibn_reid import ibn_reid_forward
 from .mobilenetv2 import mobilenetv2_forward
 from .osnet import osnet_ain_forward, osnet_forward
 from .resnet_reid import resnet_reid_forward
+from .senet_reid import senet_reid_forward
 
 _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -35,12 +37,29 @@ FORWARDS = {
     "osnet_x0_5": osnet_forward,
     "osnet_x0_25": osnet_forward,
     "osnet_ain_x1_0": osnet_ain_forward,
+    "resnet18": lambda p, x: resnet_reid_forward(p, x, "resnet18"),
+    "resnet34": lambda p, x: resnet_reid_forward(p, x, "resnet34"),
     "resnet50": lambda p, x: resnet_reid_forward(p, x, "resnet50"),
     "resnet101": lambda p, x: resnet_reid_forward(p, x, "resnet101"),
+    "resnet152": lambda p, x: resnet_reid_forward(p, x, "resnet152"),
+    "resnext50_32x4d": lambda p, x: resnet_reid_forward(
+        p, x, "resnext50_32x4d"),
+    "resnext101_32x8d": lambda p, x: resnet_reid_forward(
+        p, x, "resnext101_32x8d"),
     "resnet50_fc512": lambda p, x: resnet_reid_forward(
         p, x, "resnet50_fc512"),
     "mobilenetv2_x1_0": mobilenetv2_forward,
     "mobilenetv2_x1_4": mobilenetv2_forward,
+    "se_resnet50": lambda p, x: senet_reid_forward(p, x, "se_resnet50"),
+    "se_resnet50_fc512": lambda p, x: senet_reid_forward(
+        p, x, "se_resnet50_fc512"),
+    "se_resnet101": lambda p, x: senet_reid_forward(p, x, "se_resnet101"),
+    "se_resnext50_32x4d": lambda p, x: senet_reid_forward(
+        p, x, "se_resnext50_32x4d"),
+    "se_resnext101_32x4d": lambda p, x: senet_reid_forward(
+        p, x, "se_resnext101_32x4d"),
+    "resnet50_ibn_a": lambda p, x: ibn_reid_forward(p, x, "resnet50_ibn_a"),
+    "resnet50_ibn_b": lambda p, x: ibn_reid_forward(p, x, "resnet50_ibn_b"),
 }
 
 
@@ -53,7 +72,10 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     out = {}
     for name, t in sd.items():
-        name = name.replace("module.", "")
+        # strip only the DataParallel wrapper prefix (a bare .replace would
+        # also mangle interior names like "se_module.fc1")
+        if name.startswith("module."):
+            name = name[len("module."):]
         if name.startswith("classifier."):
             continue  # identity head is training-only
         arr = t.detach().cpu().numpy()

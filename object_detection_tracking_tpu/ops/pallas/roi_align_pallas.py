@@ -102,14 +102,25 @@ def _kernel(meta_i_ref, meta_f_ref, levels_ref, out_ref,
     start_block(0, 0)
 
     def weights(win, origin, start, spacing, extent):
-        """Hat-function interpolation weights [s, win] for one axis."""
-        k = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(jnp.float32)
-        r = jax.lax.broadcasted_iota(jnp.int32, (s, win), 1).astype(jnp.float32)
-        abs_coord = start + spacing * (k + 0.5) - 0.5       # [s, 1]
-        rel = abs_coord - origin
-        w = jnp.maximum(0.0, 1.0 - jnp.abs(rel - r))        # [s, win]
-        valid = (abs_coord >= 0.0) & (abs_coord <= extent - 1.0)
-        return w * valid.astype(jnp.float32)
+        """Pool-folded interpolation weights [pool, win] for one axis: the
+        2x2 average pool is absorbed by averaging each pair of adjacent
+        sample rows of the hat-function matrix (exact — the pool is a mean
+        over samples and the contraction is linear)."""
+        # two explicit sample rows per pool cell (strided slices don't
+        # lower in Mosaic, so build each half from its own iota)
+        k = jax.lax.broadcasted_iota(jnp.int32, (pool, 1), 0)
+        k = k.astype(jnp.float32)
+        r = jax.lax.broadcasted_iota(jnp.int32, (pool, win), 1)
+        r = r.astype(jnp.float32)
+
+        def hat(abs_coord):
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(abs_coord - origin - r))
+            valid = (abs_coord >= 0.0) & (abs_coord <= extent - 1.0)
+            return w * valid.astype(jnp.float32)
+
+        a0 = start + spacing * (2.0 * k + 0.5) - 0.5        # [pool, 1]
+        a1 = start + spacing * (2.0 * k + 1.5) - 0.5
+        return 0.5 * (hat(a0) + hat(a1))                    # [pool, win]
 
     def body(blk, _):
         slot = blk % NBUF
@@ -130,8 +141,8 @@ def _kernel(meta_i_ref, meta_f_ref, levels_ref, out_ref,
             wxs.append(weights(
                 WIN_X, (meta_i_ref[2, i] * 8).astype(jnp.float32),
                 meta_f_ref[1, i], meta_f_ref[3, i], meta_f_ref[5, i]))
-        wy = jnp.stack(wys)                                  # [BLK, s, WY]
-        wx = jnp.stack(wxs)                                  # [BLK, s, WX]
+        wy = jnp.stack(wys)                                  # [BLK, pool, WY]
+        wx = jnp.stack(wxs)                                  # [BLK, pool, WX]
 
         win = win_scratch[slot]                     # [BLK, WY, WX, C]
         dt = win.dtype
@@ -139,13 +150,12 @@ def _kernel(meta_i_ref, meta_f_ref, levels_ref, out_ref,
         tmp = jax.lax.dot_general(
             wy.astype(dt), win, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=precision)                    # [BLK, s, WX, C]
+            precision=precision)                    # [BLK, pool, WX, C]
         full = jax.lax.dot_general(
             wx.astype(dt), tmp.astype(dt), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=precision)                    # [BLK, sx, sy, C]
-        full = jnp.swapaxes(full, 1, 2)             # [BLK, sy, sx, C]
-        pooled = full.reshape(BLK, pool, 2, pool, 2, c).mean(axis=(2, 4))
+            precision=precision)                    # [BLK, px, py, C]
+        pooled = jnp.swapaxes(full, 1, 2)           # [BLK, py, px, C]
         pooled = jnp.pad(
             pooled, ((0, 0), (0, 0), (0, pool_pad - pool), (0, 0)))
 

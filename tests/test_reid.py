@@ -140,3 +140,65 @@ def test_osnet_ain_parity(tmp_path):
         jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
     assert got.shape == want.shape == (2, 512)
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+@pytest.mark.parametrize("name,dim", [
+    ("resnet18", 512),          # BasicBlock path
+    ("resnext50_32x4d", 2048),  # grouped 3x3 convs
+])
+def test_resnet_family_parity(tmp_path, name, dim):
+    import torchreid.models.resnet as ref
+    torch.manual_seed(7)
+    net = getattr(ref, name)(num_classes=10, pretrained=False).eval()
+    x = torch.randn(2, 3, 128, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / f"{name}.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(resnet_reid_forward(
+        _to_jax_params(p), jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))),
+        name))
+    assert got.shape == want.shape == (2, dim)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+@pytest.mark.parametrize("name,dim", [
+    ("se_resnet50_fc512", 512),    # SE + caffe conv1-stride + fc head
+    ("se_resnext50_32x4d", 2048),  # SE + grouped conv2-stride
+])
+def test_senet_family_parity(tmp_path, name, dim):
+    import torchreid.models.senet as ref
+    from object_detection_tracking_tpu.models.reid import senet_reid_forward
+    torch.manual_seed(8)
+    net = getattr(ref, name)(num_classes=10, pretrained=False).eval()
+    x = torch.randn(2, 3, 128, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / f"{name}.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(senet_reid_forward(
+        _to_jax_params(p), jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))),
+        name))
+    assert got.shape == want.shape == (2, dim)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+@pytest.mark.parametrize("name", ["resnet50_ibn_a", "resnet50_ibn_b"])
+def test_ibn_family_parity(tmp_path, name):
+    from object_detection_tracking_tpu.models.reid import ibn_reid_forward
+    if name == "resnet50_ibn_a":
+        from torchreid.models.resnet_ibn_a import resnet50_ibn_a as ctor
+    else:
+        from torchreid.models.resnet_ibn_b import resnet50_ibn_b as ctor
+    torch.manual_seed(9)
+    net = ctor(num_classes=10, pretrained=False).eval()
+    x = torch.randn(2, 3, 128, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / f"{name}.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(ibn_reid_forward(
+        _to_jax_params(p), jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))),
+        name))
+    assert got.shape == want.shape == (2, 2048)
+    np.testing.assert_allclose(got, want, atol=2e-3)
