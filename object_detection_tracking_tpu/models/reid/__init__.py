@@ -7,8 +7,11 @@ pure transpose pass (utils in extractor.py), and parity can be checked
 layer-by-layer against torch (cpu) in tests.
 """
 
+from .densenet_reid import densenet_reid_forward  # noqa: F401
 from .extractor import FeatureExtractor  # noqa: F401
 from .ibn_reid import ibn_reid_forward  # noqa: F401
+from .shufflenet_reid import shufflenetv2_reid_forward  # noqa: F401
+from .squeezenet_reid import squeezenet_reid_forward  # noqa: F401
 from .mobilenetv2 import mobilenetv2_forward  # noqa: F401
 from .osnet import osnet_ain_forward, osnet_forward  # noqa: F401
 from .resnet_reid import resnet_reid_forward  # noqa: F401

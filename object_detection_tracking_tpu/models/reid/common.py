@@ -50,3 +50,16 @@ def avg_pool2(x):
 
 def global_avg_pool(x):
     return x.mean(axis=(1, 2))
+
+
+def ceil_max_pool(x, window=3, stride=2):
+    """torch MaxPool2d(ceil_mode=True, padding=0): pad only right/bottom
+    as needed so the last partial window is kept."""
+    import math
+    h, w = x.shape[1], x.shape[2]
+    pad_h = max(0, (math.ceil((h - window) / stride)) * stride + window - h)
+    pad_w = max(0, (math.ceil((w - window) / stride)) * stride + window - w)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (1, window, window, 1), (1, stride, stride, 1),
+        ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))

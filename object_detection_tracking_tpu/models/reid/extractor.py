@@ -21,8 +21,11 @@ except ImportError:  # pragma: no cover
 import jax
 import jax.numpy as jnp
 
+from .densenet_reid import densenet_reid_forward
 from .ibn_reid import ibn_reid_forward
 from .mobilenetv2 import mobilenetv2_forward
+from .shufflenet_reid import shufflenetv2_reid_forward
+from .squeezenet_reid import squeezenet_reid_forward
 from .osnet import osnet_ain_forward, osnet_forward
 from .resnet_reid import resnet_reid_forward
 from .senet_reid import senet_reid_forward
@@ -60,6 +63,18 @@ FORWARDS = {
         p, x, "se_resnext101_32x4d"),
     "resnet50_ibn_a": lambda p, x: ibn_reid_forward(p, x, "resnet50_ibn_a"),
     "resnet50_ibn_b": lambda p, x: ibn_reid_forward(p, x, "resnet50_ibn_b"),
+    "densenet121": densenet_reid_forward,
+    "densenet169": densenet_reid_forward,
+    "densenet201": densenet_reid_forward,
+    "densenet161": densenet_reid_forward,
+    "densenet121_fc512": densenet_reid_forward,
+    "squeezenet1_0": squeezenet_reid_forward,
+    "squeezenet1_0_fc512": squeezenet_reid_forward,
+    "squeezenet1_1": squeezenet_reid_forward,
+    "shufflenet_v2_x0_5": shufflenetv2_reid_forward,
+    "shufflenet_v2_x1_0": shufflenetv2_reid_forward,
+    "shufflenet_v2_x1_5": shufflenetv2_reid_forward,
+    "shufflenet_v2_x2_0": shufflenetv2_reid_forward,
 }
 
 

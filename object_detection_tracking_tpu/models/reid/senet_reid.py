@@ -12,12 +12,10 @@ conv kernels (see extractor.load_torch_state_dict).
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 
-from .common import bn, conv, global_avg_pool, linear
+from .common import bn, ceil_max_pool, conv, global_avg_pool, linear
 
 LAYERS = {
     "se_resnet50": (3, 4, 6, 3),
@@ -28,18 +26,6 @@ LAYERS = {
     "se_resnext101_32x4d": (3, 4, 23, 3),
 }
 LAST_STRIDE = {"se_resnet50_fc512": 1}
-
-
-def _ceil_max_pool(x, window=3, stride=2):
-    """torch MaxPool2d(ceil_mode=True, padding=0): pad only right/bottom
-    as needed so the last partial window is kept (senet.py:365-367)."""
-    h, w = x.shape[1], x.shape[2]
-    pad_h = max(0, (math.ceil((h - window) / stride)) * stride + window - h)
-    pad_w = max(0, (math.ceil((w - window) / stride)) * stride + window - w)
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max,
-        (1, window, window, 1), (1, stride, stride, 1),
-        ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
 
 
 def _se_module(p, pre, x):
@@ -73,7 +59,7 @@ def senet_reid_forward(p, images: jnp.ndarray,
     groups = 32 if resnext else 1
     x = jax.nn.relu(bn(p, "layer0.bn1",
                        conv(p, "layer0.conv1", images, stride=2, padding=3)))
-    x = _ceil_max_pool(x)
+    x = ceil_max_pool(x)
     for li, n_blocks in enumerate(layers, start=1):
         for b in range(n_blocks):
             stride = 1 if (li == 1 or b > 0) else (

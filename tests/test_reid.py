@@ -202,3 +202,59 @@ def test_ibn_family_parity(tmp_path, name):
         name))
     assert got.shape == want.shape == (2, 2048)
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_densenet_parity(tmp_path):
+    from torchreid.models.densenet import densenet121
+    from object_detection_tracking_tpu.models.reid import (
+        densenet_reid_forward)
+    torch.manual_seed(10)
+    net = densenet121(num_classes=10, pretrained=False).eval()
+    x = torch.randn(2, 3, 128, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "d121.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(densenet_reid_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 1024)
+    # random-init densenet features reach ~1e6, so tolerance is relative
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("name", ["squeezenet1_0", "squeezenet1_1"])
+def test_squeezenet_parity(tmp_path, name):
+    import torchreid.models.squeezenet as ref
+    from object_detection_tracking_tpu.models.reid import (
+        squeezenet_reid_forward)
+    torch.manual_seed(11)
+    net = getattr(ref, name)(num_classes=10, pretrained=False).eval()
+    x = torch.randn(2, 3, 128, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / f"{name}.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(squeezenet_reid_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 512)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_shufflenetv2_parity(tmp_path):
+    from torchreid.models.shufflenetv2 import shufflenet_v2_x0_5
+    from object_detection_tracking_tpu.models.reid import (
+        shufflenetv2_reid_forward)
+    torch.manual_seed(12)
+    net = shufflenet_v2_x0_5(num_classes=10, pretrained=False).eval()
+    x = torch.randn(2, 3, 128, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "snv2.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(shufflenetv2_reid_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 1024)
+    np.testing.assert_allclose(got, want, atol=2e-3)
