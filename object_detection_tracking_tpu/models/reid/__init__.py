@@ -10,6 +10,9 @@ layer-by-layer against torch (cpu) in tests.
 from .densenet_reid import densenet_reid_forward  # noqa: F401
 from .extractor import FeatureExtractor  # noqa: F401
 from .ibn_reid import ibn_reid_forward  # noqa: F401
+from .mlfn_reid import mlfn_reid_forward  # noqa: F401
+from .pcb_reid import pcb_reid_forward  # noqa: F401
+from .resnetmid_reid import resnetmid_reid_forward  # noqa: F401
 from .shufflenet_reid import shufflenetv2_reid_forward  # noqa: F401
 from .squeezenet_reid import squeezenet_reid_forward  # noqa: F401
 from .mobilenetv2 import mobilenetv2_forward  # noqa: F401

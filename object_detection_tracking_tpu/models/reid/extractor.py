@@ -23,7 +23,10 @@ import jax.numpy as jnp
 
 from .densenet_reid import densenet_reid_forward
 from .ibn_reid import ibn_reid_forward
+from .mlfn_reid import mlfn_reid_forward
 from .mobilenetv2 import mobilenetv2_forward
+from .pcb_reid import pcb_reid_forward
+from .resnetmid_reid import resnetmid_reid_forward
 from .shufflenet_reid import shufflenetv2_reid_forward
 from .squeezenet_reid import squeezenet_reid_forward
 from .osnet import osnet_ain_forward, osnet_forward
@@ -75,6 +78,10 @@ FORWARDS = {
     "shufflenet_v2_x1_0": shufflenetv2_reid_forward,
     "shufflenet_v2_x1_5": shufflenetv2_reid_forward,
     "shufflenet_v2_x2_0": shufflenetv2_reid_forward,
+    "pcb_p6": lambda p, x: pcb_reid_forward(p, x, "pcb_p6"),
+    "pcb_p4": lambda p, x: pcb_reid_forward(p, x, "pcb_p4"),
+    "mlfn": mlfn_reid_forward,
+    "resnet50mid": resnetmid_reid_forward,
 }
 
 

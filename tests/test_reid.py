@@ -258,3 +258,55 @@ def test_shufflenetv2_parity(tmp_path):
         jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
     assert got.shape == want.shape == (2, 1024)
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_pcb_parity(tmp_path):
+    from torchreid.models.pcb import pcb_p4
+    from object_detection_tracking_tpu.models.reid import pcb_reid_forward
+    torch.manual_seed(13)
+    net = pcb_p4(num_classes=10, pretrained=False).eval()
+    x = torch.randn(2, 3, 128, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "pcb.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(pcb_reid_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))), "pcb_p4"))
+    assert got.shape == want.shape == (2, 2048 * 4)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_mlfn_parity(tmp_path):
+    from torchreid.models.mlfn import mlfn
+    from object_detection_tracking_tpu.models.reid import mlfn_reid_forward
+    torch.manual_seed(14)
+    net = mlfn(num_classes=10, pretrained=False).eval()
+    x = torch.randn(2, 3, 128, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "mlfn.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(mlfn_reid_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 1024)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_resnetmid_parity(tmp_path):
+    from torchreid.models.resnetmid import resnet50mid
+    from object_detection_tracking_tpu.models.reid import (
+        resnetmid_reid_forward)
+    torch.manual_seed(15)
+    net = resnet50mid(num_classes=10, pretrained=False).eval()
+    x = torch.randn(2, 3, 128, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "r50mid.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(resnetmid_reid_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 3072)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
