@@ -22,12 +22,15 @@ import jax
 import jax.numpy as jnp
 
 from .densenet_reid import densenet_reid_forward
+from .hacnn_reid import hacnn_reid_forward
 from .ibn_reid import ibn_reid_forward
 from .mlfn_reid import mlfn_reid_forward
+from .mudeep_reid import mudeep_reid_forward
 from .mobilenetv2 import mobilenetv2_forward
 from .pcb_reid import pcb_reid_forward
 from .resnetmid_reid import resnetmid_reid_forward
 from .shufflenet_reid import shufflenetv2_reid_forward
+from .shufflenetv1_reid import shufflenetv1_reid_forward
 from .squeezenet_reid import squeezenet_reid_forward
 from .osnet import osnet_ain_forward, osnet_forward
 from .resnet_reid import resnet_reid_forward
@@ -82,7 +85,13 @@ FORWARDS = {
     "pcb_p4": lambda p, x: pcb_reid_forward(p, x, "pcb_p4"),
     "mlfn": mlfn_reid_forward,
     "resnet50mid": resnetmid_reid_forward,
+    "shufflenet": shufflenetv1_reid_forward,
+    "hacnn": hacnn_reid_forward,
+    "mudeep": mudeep_reid_forward,
 }
+
+# models with a hard input-size requirement (assert in the torch source)
+FIXED_IMAGE_SIZE = {"hacnn": (160, 64), "mudeep": (256, 128)}
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -120,7 +129,8 @@ class FeatureExtractor:
             raise ValueError(
                 f"unknown reid model {model_name!r}; have {list(FORWARDS)}")
         self.model_name = model_name
-        self.image_size = tuple(image_size)  # (h, w)
+        self.image_size = FIXED_IMAGE_SIZE.get(model_name,
+                                               tuple(image_size))  # (h, w)
         self.max_batch = max_batch
         self.compute_dtype = jnp.dtype(compute_dtype)
         if model_path:

@@ -310,3 +310,55 @@ def test_resnetmid_parity(tmp_path):
         jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
     assert got.shape == want.shape == (2, 3072)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_shufflenetv1_parity(tmp_path):
+    from torchreid.models.shufflenet import shufflenet
+    from object_detection_tracking_tpu.models.reid import (
+        shufflenetv1_reid_forward)
+    torch.manual_seed(16)
+    net = shufflenet(num_classes=10, pretrained=False).eval()
+    x = torch.randn(2, 3, 128, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "snv1.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(shufflenetv1_reid_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 960)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_hacnn_parity(tmp_path):
+    from torchreid.models.hacnn import HACNN
+    from object_detection_tracking_tpu.models.reid import hacnn_reid_forward
+    torch.manual_seed(17)
+    net = HACNN(num_classes=10, use_gpu=False).eval()
+    x = torch.randn(2, 3, 160, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "hacnn.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(hacnn_reid_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 1024)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_mudeep_parity(tmp_path):
+    from torchreid.models.mudeep import MuDeep
+    from object_detection_tracking_tpu.models.reid import mudeep_reid_forward
+    torch.manual_seed(18)
+    net = MuDeep(num_classes=10).eval()
+    x = torch.randn(2, 3, 256, 128)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "mudeep.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(mudeep_reid_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 4096)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
