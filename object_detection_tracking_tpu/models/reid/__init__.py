@@ -11,9 +11,13 @@ from .densenet_reid import densenet_reid_forward  # noqa: F401
 from .extractor import FeatureExtractor  # noqa: F401
 from .hacnn_reid import hacnn_reid_forward  # noqa: F401
 from .ibn_reid import ibn_reid_forward  # noqa: F401
+from .inceptionresnetv2_reid import (  # noqa: F401
+    inceptionresnetv2_reid_forward)
+from .inceptionv4_reid import inceptionv4_reid_forward  # noqa: F401
 from .mlfn_reid import mlfn_reid_forward  # noqa: F401
 from .mudeep_reid import mudeep_reid_forward  # noqa: F401
 from .shufflenetv1_reid import shufflenetv1_reid_forward  # noqa: F401
+from .xception_reid import xception_reid_forward  # noqa: F401
 from .pcb_reid import pcb_reid_forward  # noqa: F401
 from .resnetmid_reid import resnetmid_reid_forward  # noqa: F401
 from .shufflenet_reid import shufflenetv2_reid_forward  # noqa: F401

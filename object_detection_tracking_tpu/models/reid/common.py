@@ -22,8 +22,8 @@ def conv(p, name, x, stride=1, padding=0, groups=1):
     return out
 
 
-def bn(p, name, x):
-    scale = p[name + ".weight"] / jnp.sqrt(p[name + ".running_var"] + BN_EPS)
+def bn(p, name, x, eps=BN_EPS):
+    scale = p[name + ".weight"] / jnp.sqrt(p[name + ".running_var"] + eps)
     offset = p[name + ".bias"] - p[name + ".running_mean"] * scale
     return x * scale.astype(x.dtype) + offset.astype(x.dtype)
 
@@ -63,3 +63,14 @@ def ceil_max_pool(x, window=3, stride=2):
         x, -jnp.inf, jax.lax.max,
         (1, window, window, 1), (1, stride, stride, 1),
         ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+
+
+def avg_pool_excl(x, window=3, stride=1, padding=1):
+    """torch AvgPool2d(count_include_pad=False): divide each window's sum
+    by the number of non-padding elements it covers."""
+    dims, strides = (1, window, window, 1), (1, stride, stride, 1)
+    pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, pads)
+    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
+    cnt = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides, pads)
+    return s / cnt

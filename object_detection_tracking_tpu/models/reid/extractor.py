@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from .densenet_reid import densenet_reid_forward
 from .hacnn_reid import hacnn_reid_forward
 from .ibn_reid import ibn_reid_forward
+from .inceptionresnetv2_reid import inceptionresnetv2_reid_forward
+from .inceptionv4_reid import inceptionv4_reid_forward
 from .mlfn_reid import mlfn_reid_forward
 from .mudeep_reid import mudeep_reid_forward
 from .mobilenetv2 import mobilenetv2_forward
@@ -32,6 +34,7 @@ from .resnetmid_reid import resnetmid_reid_forward
 from .shufflenet_reid import shufflenetv2_reid_forward
 from .shufflenetv1_reid import shufflenetv1_reid_forward
 from .squeezenet_reid import squeezenet_reid_forward
+from .xception_reid import xception_reid_forward
 from .osnet import osnet_ain_forward, osnet_forward
 from .resnet_reid import resnet_reid_forward
 from .senet_reid import senet_reid_forward
@@ -46,6 +49,7 @@ FORWARDS = {
     "osnet_x0_5": osnet_forward,
     "osnet_x0_25": osnet_forward,
     "osnet_ain_x1_0": osnet_ain_forward,
+    "osnet_ibn_x1_0": osnet_forward,  # IN layers detected from ckpt names
     "resnet18": lambda p, x: resnet_reid_forward(p, x, "resnet18"),
     "resnet34": lambda p, x: resnet_reid_forward(p, x, "resnet34"),
     "resnet50": lambda p, x: resnet_reid_forward(p, x, "resnet50"),
@@ -88,6 +92,9 @@ FORWARDS = {
     "shufflenet": shufflenetv1_reid_forward,
     "hacnn": hacnn_reid_forward,
     "mudeep": mudeep_reid_forward,
+    "xception": xception_reid_forward,
+    "inceptionv4": inceptionv4_reid_forward,
+    "inceptionresnetv2": inceptionresnetv2_reid_forward,
 }
 
 # models with a hard input-size requirement (assert in the torch source)

@@ -17,6 +17,8 @@ from .common import avg_pool2, bn, conv, global_avg_pool, linear, max_pool
 
 def _conv_layer(p, pre, x, stride=1, padding=0, k7=False):
     x = conv(p, pre + ".conv", x, stride=stride, padding=padding)
+    if pre + ".bn.running_mean" not in p:  # osnet_ibn: IN stem
+        return jax.nn.relu(_instance_norm(p, pre + ".bn", x))
     return jax.nn.relu(bn(p, pre + ".bn", x))
 
 
@@ -63,7 +65,10 @@ def _os_block(p, pre, x):
     x3 = _conv1x1_linear(p, pre + ".conv3", x2)
     if pre + ".downsample.conv.weight" in p:
         identity = _conv1x1_linear(p, pre + ".downsample", identity)
-    return jax.nn.relu(x3 + identity)
+    out = x3 + identity
+    if pre + ".IN.weight" in p:  # osnet_ibn: IN after the residual add
+        out = _instance_norm(p, pre + ".IN", out)
+    return jax.nn.relu(out)
 
 
 def _fc_head(p, x):

@@ -362,3 +362,73 @@ def test_mudeep_parity(tmp_path):
         jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
     assert got.shape == want.shape == (2, 4096)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_xception_parity(tmp_path):
+    from torchreid.models.xception import Xception
+    from object_detection_tracking_tpu.models.reid import (
+        xception_reid_forward)
+    torch.manual_seed(19)
+    net = Xception(num_classes=10, loss="softmax").eval()
+    x = torch.randn(2, 3, 128, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "xc.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(xception_reid_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 2048)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_inceptionv4_parity(tmp_path):
+    from torchreid.models.inceptionv4 import InceptionV4
+    from object_detection_tracking_tpu.models.reid import (
+        inceptionv4_reid_forward)
+    torch.manual_seed(20)
+    net = InceptionV4(num_classes=10, loss="softmax").eval()
+    x = torch.randn(2, 3, 160, 96)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "iv4.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(inceptionv4_reid_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 1536)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_inceptionresnetv2_parity(tmp_path):
+    from torchreid.models.inceptionresnetv2 import InceptionResNetV2
+    from object_detection_tracking_tpu.models.reid import (
+        inceptionresnetv2_reid_forward)
+    torch.manual_seed(21)
+    net = InceptionResNetV2(num_classes=10).eval()
+    x = torch.randn(2, 3, 160, 96)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "irv2.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(inceptionresnetv2_reid_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 1536)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_osnet_ibn_parity(tmp_path):
+    from torchreid.models.osnet import osnet_ibn_x1_0
+    torch.manual_seed(22)
+    net = osnet_ibn_x1_0(num_classes=10, pretrained=False).eval()
+    x = torch.randn(2, 3, 256, 128)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "osnet_ibn.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(osnet_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 512)
+    np.testing.assert_allclose(got, want, atol=2e-3)
