@@ -16,6 +16,7 @@ from .inceptionresnetv2_reid import (  # noqa: F401
 from .inceptionv4_reid import inceptionv4_reid_forward  # noqa: F401
 from .mlfn_reid import mlfn_reid_forward  # noqa: F401
 from .mudeep_reid import mudeep_reid_forward  # noqa: F401
+from .nasnet_reid import nasnet_reid_forward  # noqa: F401
 from .shufflenetv1_reid import shufflenetv1_reid_forward  # noqa: F401
 from .xception_reid import xception_reid_forward  # noqa: F401
 from .pcb_reid import pcb_reid_forward  # noqa: F401

@@ -29,6 +29,7 @@ from .inceptionv4_reid import inceptionv4_reid_forward
 from .mlfn_reid import mlfn_reid_forward
 from .mudeep_reid import mudeep_reid_forward
 from .mobilenetv2 import mobilenetv2_forward
+from .nasnet_reid import nasnet_reid_forward
 from .pcb_reid import pcb_reid_forward
 from .resnetmid_reid import resnetmid_reid_forward
 from .shufflenet_reid import shufflenetv2_reid_forward
@@ -95,6 +96,9 @@ FORWARDS = {
     "xception": xception_reid_forward,
     "inceptionv4": inceptionv4_reid_forward,
     "inceptionresnetv2": inceptionresnetv2_reid_forward,
+    # keep the reference registry's (typo'd) key as an alias too
+    "nasnetamobile": nasnet_reid_forward,
+    "nasnsetmobile": nasnet_reid_forward,
 }
 
 # models with a hard input-size requirement (assert in the torch source)

@@ -432,3 +432,20 @@ def test_osnet_ibn_parity(tmp_path):
         jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
     assert got.shape == want.shape == (2, 512)
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_nasnet_parity(tmp_path):
+    from torchreid.models.nasnet import NASNetAMobile
+    from object_detection_tracking_tpu.models.reid import nasnet_reid_forward
+    torch.manual_seed(23)
+    net = NASNetAMobile(num_classes=10, loss="softmax").eval()
+    x = torch.randn(2, 3, 128, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    p = str(tmp_path / "nasnet.pth")
+    torch.save(net.state_dict(), p)
+    got = np.asarray(nasnet_reid_forward(
+        _to_jax_params(p),
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    assert got.shape == want.shape == (2, 1056)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
