@@ -58,13 +58,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 # FPN level assignment puts a box's extent on its level in [14, 28) px for
 # aspect 1 (canonical 224-px box -> 14 px on p4), times sqrt(aspect) on the
 # long side. 48x56 covers aspect-stretch up to ~2.8 (tall persons included).
-WIN_Y = 48
-WIN_X = 56   # W offsets align to the 8-sublane tile (up to 7 px slack)
-BLK = 2      # ROIs per pipeline step (VMEM: NBUF*BLK*48*56*C windows)
-NBUF = 2
+# The env overrides exist ONLY for kernel A/B timing experiments
+# (tools/roi_ab_bench.py); the defaults are the supported configuration.
+WIN_Y = int(os.environ.get("ODT_ROI_WIN_Y", 48))
+WIN_X = int(os.environ.get("ODT_ROI_WIN_X", 56))  # W offsets align to the
+#            8-sublane tile (up to 7 px slack)
+BLK = int(os.environ.get("ODT_ROI_BLK", 2))   # ROIs per pipeline step
+NBUF = int(os.environ.get("ODT_ROI_NBUF", 2))
 MAX_ROIS_PER_CALL = 8192   # SMEM meta budget (36 B/roi of 1 MB)
 
 
