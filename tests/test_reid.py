@@ -449,3 +449,14 @@ def test_nasnet_parity(tmp_path):
         jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
     assert got.shape == want.shape == (2, 1056)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_registry_covers_reference():
+    """Every model name in the reference torchreid registry
+    (torchreid/models/__init__.py:25-69) resolves to a forward here."""
+    import re
+    from object_detection_tracking_tpu.models.reid.extractor import FORWARDS
+    src = open("/root/reference/torchreid/models/__init__.py").read()
+    names = set(re.findall(r"'([a-z0-9_\.]+)':", src))
+    missing = sorted(n for n in names if n not in FORWARDS)
+    assert not missing, f"unported torchreid models: {missing}"
