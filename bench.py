@@ -151,9 +151,9 @@ def main():
     x_rt_device = BATCH * FRAME_GAP / FPS / dev_s
 
     # the shared TPU service behind the tunnel has up-to-3x wall-clock
-    # variance run-to-run; measure 3 passes and report the median
+    # variance run-to-run; measure 5 passes and report the median
     runs = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         processed = run_video(bench_path, track=True)
         runs.append((time.time() - t0, processed))

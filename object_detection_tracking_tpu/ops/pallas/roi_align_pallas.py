@@ -29,14 +29,17 @@ use the XLA path. Pass bf16 features for half the DMA bytes; the matmuls
 then run at bf16 input precision (matches the detector's bf16 path).
 
 Perf study (round 2, v5e, 8000 ROIs @ 720p C=256 bf16, tunnel latency
-subtracted): this shape is ~40 ms and empirically optimal for the current
-Mosaic lowering. Measured and REJECTED: deeper DMA pipelining (NBUF 4/8:
--2 ms), bigger blocks (BLK 4/8: none), a block-diagonal fused y-matmul
-[BLK*14, BLK*48] to fill the MXU's M/K tiles (47 ms — forces a window
-relayout), x-axis-first contraction with pool-folded weights (54 ms —
-despite contracting the sublane-native dim and eliminating the transpose
-+ pool reshape). Cost model: ~60% window DMA (~645 GB/s effective),
-~40% per-ROI compute that scales with C.
+subtracted; later remeasured with scalar-only readback — any MB-scale
+device->host readback in a harness rides the ~25-75 MB/s tunnel and
+dominates the timing, which inflated earlier numbers): the kernel is
+~19-26 ms for 8x1000 ROIs (~2.5 us/ROI), insensitive to window bytes
+(a WIN_Y=8 probe times the same), i.e. bound by per-ROI issue/loop
+overhead + overlapped DMA, not bandwidth. Measured and REJECTED: deeper
+DMA pipelining (NBUF 4/8), bigger blocks (BLK 4/8), a block-diagonal
+fused y-matmul [BLK*14, BLK*48] (forces a window relayout), x-axis-first
+contraction. The 2x2 avg pool is folded into the hat-weight matrices
+(halves matmul FLOPs, exact). tools/roi_ab_bench.py re-runs the
+interleaved A/B matrix via the ODT_ROI_* env overrides.
 
 Mosaic gotchas encoded here (cost a debugging session):
   * W-dim DMA offsets must be multiples of the 8-sublane tile -> x origins
