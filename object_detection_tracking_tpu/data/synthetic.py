@@ -151,3 +151,68 @@ def _iou(a, b) -> float:
     area_a = (a[2] - a[0]) * (a[3] - a[1])
     area_b = (b[2] - b[0]) * (b[3] - b[1])
     return inter / float(area_a + area_b - inter)
+
+
+def generate_video(out_dir: str, num_frames: int = 150, image_hw=(160, 160),
+                   num_objects: int = 4, fps: int = 30, seed: int = 0):
+    """Moving-shapes video + per-frame ground-truth tracks.
+
+    Objects keep a constant class, color and size, move with constant
+    velocity and bounce off the frame borders — the det+track quality
+    proof (cli.track_quality_proof) scores the full pipeline against
+    this ground truth with evaluation_mot (MOTA/IDF1).
+
+    Returns (video_path, gt) where gt is
+    {frame_idx: [(track_id, (x1, y1, x2, y2), class_name), ...]}.
+    """
+    if cv2 is None:
+        raise RuntimeError("cv2 required")
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    h, w = image_hw
+    bg = _textured_background(rng, h, w)
+    objs = []
+    for oid in range(num_objects):
+        cls = int(rng.randint(0, len(SHAPE_CLASSES)))
+        size = int(rng.randint(18, min(h, w) // 4))
+        for _ in range(20):   # spread the starting positions out
+            x = float(rng.randint(2, w - size - 2))
+            y = float(rng.randint(2, h - size - 2))
+            if all(abs(x - o["x"]) > size or abs(y - o["y"]) > size
+                   for o in objs):
+                break
+        vx, vy = rng.uniform(0.8, 2.2, 2) * rng.choice([-1, 1], 2)
+        color = tuple(int(c) for c in rng.randint(60, 255, 3))
+        objs.append(dict(id=oid, cls=cls, size=size, x=x, y=y,
+                         vx=float(vx), vy=float(vy), color=color))
+    path = os.path.join(out_dir, "track_video.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    gt = {}
+    for t in range(num_frames):
+        frame = bg.copy()
+        frame_gt = []
+        for o in objs:
+            o["x"] += o["vx"]
+            o["y"] += o["vy"]
+            if o["x"] < 1 or o["x"] + o["size"] > w - 1:
+                o["vx"] *= -1
+                o["x"] = float(np.clip(o["x"], 1, w - o["size"] - 1))
+            if o["y"] < 1 or o["y"] + o["size"] > h - 1:
+                o["vy"] *= -1
+                o["y"] = float(np.clip(o["y"], 1, h - o["size"] - 1))
+            box = (o["x"], o["y"], o["x"] + o["size"], o["y"] + o["size"])
+            ib = tuple(int(round(v)) for v in box)
+            if o["cls"] == 0:
+                r = o["size"] // 2
+                cv2.circle(frame, (ib[0] + r, ib[1] + r), r, o["color"], -1)
+            elif o["cls"] == 1:
+                cv2.rectangle(frame, ib[:2], ib[2:], o["color"], -1)
+            else:
+                pts = np.array([[(ib[0] + ib[2]) // 2, ib[1]],
+                                [ib[0], ib[3]], [ib[2], ib[3]]], np.int32)
+                cv2.fillPoly(frame, [pts], o["color"])
+            frame_gt.append((o["id"], box, SHAPE_CLASSES[o["cls"]]))
+        vw.write(frame)
+        gt[t] = frame_gt
+    vw.release()
+    return path, gt
