@@ -192,3 +192,21 @@ class FeatureExtractor:
             f = np.asarray(self._fn(self.params, chunk))
             feats.append(f[:min(bs, len(x) - s)])
         return np.concatenate(feats, axis=0)
+
+
+def compute_distance_matrix(a: np.ndarray, b: np.ndarray,
+                            metric: str = "euclidean") -> np.ndarray:
+    """[m, d] x [n, d] -> [m, n] distances (ref torchreid/distance.py:6-67:
+    'euclidean' is SQUARED euclidean via the expand trick; 'cosine' is
+    1 - cos similarity of L2-normalized rows)."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    if metric == "euclidean":
+        sq_a = (a * a).sum(1, keepdims=True)
+        sq_b = (b * b).sum(1, keepdims=True)
+        return sq_a + sq_b.T - 2.0 * (a @ b.T)
+    if metric == "cosine":
+        an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+        bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+        return 1.0 - an @ bn.T
+    raise ValueError(f"unknown metric {metric!r}")
