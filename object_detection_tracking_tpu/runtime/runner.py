@@ -48,13 +48,21 @@ class DetectionRunner:
         elif emb_agg not in ("max", "spatial"):
             raise ValueError(f"unknown emb_agg {emb_agg!r}")
         self.emb_agg = emb_agg
-        # Lossless inter-frame delta transfer: the host ships frame 0 raw
-        # plus uint8-wraparound diffs for frames 1..B-1; the device
-        # reconstructs exactly with a mod-256 cumsum inside the jit. The
-        # host->device link compresses its stream, and consecutive
-        # surveillance frames differ in few pixels, so deltas cut the
-        # effective transfer cost ~2-4x. Bit-exact (mod-256 arithmetic).
+        # Lossless inter-frame delta transfer: the host ships uint8-
+        # wraparound diffs; the device reconstructs exactly with a mod-256
+        # cumsum inside the jit. The host->device link compresses its
+        # stream, and consecutive surveillance frames differ in few
+        # pixels, so deltas cut the effective transfer cost ~2-4x.
+        # Bit-exact (mod-256 arithmetic). On the single-chip path the
+        # device additionally carries the last reconstructed frame across
+        # batches, so even each batch's FIRST frame ships as a sparse
+        # diff (vs the previous batch's tail) instead of raw bytes.
         self.temporal_delta = temporal_delta
+        # cross-batch carry needs a stable single-device carry buffer;
+        # on a mesh the batch axis is sharded, keep intra-batch deltas.
+        self.cross_batch_delta = bool(temporal_delta) and mesh is None
+        self._host_prev = None   # last RAW frame shipped (host mirror)
+        self._dev_carry = None   # same frame, reconstructed on device
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.mesh import (batch_sharding, param_shardings,
@@ -68,6 +76,9 @@ class DetectionRunner:
                 out_shardings=self._data_sh)
         else:
             self._fn = jax.jit(self._fetch_forward)
+            if self.cross_batch_delta:
+                self._carry_fn = jax.jit(self._carry_forward,
+                                         donate_argnums=(2,))
 
     @staticmethod
     def encode_delta(images: np.ndarray) -> np.ndarray:
@@ -76,6 +87,17 @@ class DetectionRunner:
             return images
         return np.concatenate(
             [images[:1], images[1:] - images[:-1]], axis=0)  # uint8 wraps
+
+    def _carry_forward(self, params, deltas, carry):
+        """Cross-batch variant: every row of `deltas` is a wraparound diff
+        (row 0 vs `carry` = previous batch's last frame). Returns
+        (packed_outputs, new_carry); the carry round-trips as a device
+        array so no extra host transfer happens."""
+        import jax.numpy as jnp
+        recon = ((carry.astype(jnp.uint32)[None]
+                  + jnp.cumsum(deltas.astype(jnp.uint32), axis=0))
+                 % 256).astype(jnp.uint8)
+        return self._pack_outputs(params, recon), recon[-1]
 
     def _fetch_forward(self, params, images):
         """Forward + pack every fetched output into ONE [B, R, 14+C(+784)]
@@ -90,6 +112,10 @@ class DetectionRunner:
                 images.dtype == jnp.uint8:
             images = (jnp.cumsum(images.astype(jnp.uint32), axis=0)
                       % 256).astype(jnp.uint8)
+        return self._pack_outputs(params, images)
+
+    def _pack_outputs(self, params, images):
+        import jax.numpy as jnp
         out = self.model.forward(params, images)
         b, r = out["final_boxes"].shape[:2]
         if self.emb_agg != "average" and "fpn_box_feat" not in out:
@@ -162,10 +188,21 @@ class DetectionRunner:
                     images, meta = next(it)
                 except StopIteration:
                     return False
-                if self.temporal_delta and images.dtype == np.uint8:
+                carried = self.cross_batch_delta and images.dtype == np.uint8
+                if carried:
+                    if self._host_prev is None:
+                        self._host_prev = np.zeros(images.shape[1:],
+                                                   np.uint8)
+                        self._dev_carry = jax.device_put(self._host_prev)
+                    first = images[:1] - self._host_prev  # uint8 wraps
+                    self._host_prev = images[-1].copy()
+                    images = np.concatenate([first, images[1:] - images[:-1]],
+                                            axis=0)
+                elif self.temporal_delta and images.dtype == np.uint8:
                     images = self.encode_delta(images)
                 sh = self._data_sh if self.mesh is not None else None
-                puts.append((pool.submit(jax.device_put, images, sh), meta))
+                puts.append((pool.submit(jax.device_put, images, sh),
+                             meta, carried))
                 return True
 
             it = iter(batches)
@@ -175,8 +212,12 @@ class DetectionRunner:
                 if not more:
                     break
             while puts:
-                fut, meta = puts.popleft()
-                out = self._fn(self.params, fut.result())
+                fut, meta, carried = puts.popleft()
+                if carried:
+                    out, self._dev_carry = self._carry_fn(
+                        self.params, fut.result(), self._dev_carry)
+                else:
+                    out = self._fn(self.params, fut.result())
                 inflight.append((out, meta))
                 if more:
                     more = fill(it)

@@ -148,3 +148,21 @@ def test_runner_mask_mode_unpack():
     assert host["final_masks"].shape == (1, 4, 28, 28)
     np.testing.assert_allclose(host["final_masks"], 0.75)
     assert host["pooled_box_feat"].shape == (1, 4, 8)
+
+
+def test_runner_cross_batch_carry_across_run_calls():
+    """The cross-batch delta carry persists across run() invocations:
+    host mirror and device carry must stay in sync so later batches
+    still reconstruct bit-exactly."""
+    model = FakeModel()
+    rng = np.random.RandomState(3)
+    runner = DetectionRunner(model, {}, temporal_delta=True)
+    assert runner.cross_batch_delta
+    ref = DetectionRunner(model, {}, temporal_delta=False)
+    batches = [(rng.randint(0, 256, (2, 8, 8, 3)).astype(np.uint8), i)
+               for i in range(4)]
+    for call in (batches[:2], batches[2:]):  # two separate run() calls
+        got = [h["final_boxes"] for h, _ in runner.run(iter(call))]
+        want = [h["final_boxes"] for h, _ in ref.run(iter(call))]
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(a, b)
