@@ -89,9 +89,8 @@ def gate_cost_matrix(kf, cost_matrix: np.ndarray, tracks, detections,
     gating_threshold = chi2inv95[gating_dim]
     measurements = np.asarray(
         [detections[i].to_xyah() for i in detection_indices])
-    for row, tidx in enumerate(track_indices):
-        track = tracks[tidx]
-        d = kf.gating_distance(track.mean, track.covariance, measurements,
-                               only_position)
-        cost_matrix[row, d > gating_threshold] = gated_cost
+    means = np.stack([tracks[t].mean for t in track_indices])
+    covs = np.stack([tracks[t].covariance for t in track_indices])
+    d = kf.gating_distance_multi(means, covs, measurements, only_position)
+    cost_matrix[d > gating_threshold] = gated_cost
     return cost_matrix

@@ -52,8 +52,16 @@ class NearestNeighborDistanceMetric:
 
     def distance(self, features: np.ndarray,
                  targets: List[int]) -> np.ndarray:
-        cost = np.zeros((len(targets), len(features)), np.float32)
-        for i, target in enumerate(targets):
-            cost[i, :] = self._metric(
-                np.asarray(self.samples[target]), features).min(axis=0)
-        return cost
+        """Min distance from each target's gallery to each feature.
+
+        All galleries are concatenated so the whole cost matrix is ONE
+        BLAS matmul + a segmented min (np.minimum.reduceat) instead of a
+        per-target Python loop — the loop was a top-3 host cost with
+        ~100 live tracks."""
+        galleries = [np.asarray(self.samples[t]) for t in targets]
+        if not galleries or len(features) == 0:
+            return np.zeros((len(targets), len(features)), np.float32)
+        stacked = np.concatenate(galleries, axis=0)
+        starts = np.cumsum([0] + [len(g) for g in galleries[:-1]])
+        dists = self._metric(stacked, features)       # [sum_rows, N]
+        return np.minimum.reduceat(dists, starts, axis=0).astype(np.float32)

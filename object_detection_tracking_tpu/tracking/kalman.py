@@ -102,3 +102,27 @@ class KalmanFilter:
         z = scipy.linalg.solve_triangular(
             chol, d.T, lower=True, check_finite=False, overwrite_b=True)
         return np.sum(z * z, axis=0)
+
+    def gating_distance_multi(self, means: np.ndarray, covs: np.ndarray,
+                              measurements: np.ndarray,
+                              only_position: bool = False) -> np.ndarray:
+        """Batched squared Mahalanobis: [T, 8] means x [N, 4] measurements
+        -> [T, N]. Same math as per-track ``gating_distance`` but one
+        batched Cholesky + solve for all tracks (the per-track Python
+        loop dominated the host tracking cost at ~100 live tracks)."""
+        T = len(means)
+        if T == 0 or len(measurements) == 0:
+            return np.zeros((T, len(measurements)), np.float32)
+        h = means[:, 3]
+        std = np.stack([self._std_pos * h, self._std_pos * h,
+                        np.full_like(h, 1e-1), self._std_pos * h], axis=1)
+        pm = means[:, :4].copy()                       # H @ mean
+        pc = covs[:, :4, :4] + \
+            np.square(std)[:, :, None] * np.eye(4)[None]
+        k = 2 if only_position else 4
+        d = measurements[None, :, :k] - pm[:, None, :k]   # [T, N, k]
+        L = np.linalg.cholesky(pc[:, :k, :k])             # [T, k, k]
+        # batched lower-triangular solve (np.linalg.solve batches; for
+        # k<=4 the general LU is as exact as solve_triangular)
+        z = np.linalg.solve(L, d.transpose(0, 2, 1))      # [T, k, N]
+        return np.sum(z * z, axis=1)

@@ -156,3 +156,41 @@ def test_linear_inter_and_filter_short():
     filtered = filter_short_objs(interp, min_frames=2)
     assert not (filtered[:, 1] == 2).any()
     assert (filtered[:, 1] == 1).sum() == 9  # frames 0..8
+
+
+def test_batched_gating_matches_per_track():
+    """gating_distance_multi == per-track gating_distance (the batched
+    path replaced the per-track loop in gate_cost_matrix)."""
+    from object_detection_tracking_tpu.tracking.kalman import KalmanFilter
+    kf = KalmanFilter()
+    rng = np.random.RandomState(0)
+    means, covs = [], []
+    for _ in range(7):
+        m, c = kf.initiate(np.array([rng.uniform(0, 100), rng.uniform(0, 100),
+                                     rng.uniform(0.3, 3), rng.uniform(5, 80)]))
+        for _ in range(rng.randint(0, 4)):
+            m, c = kf.predict(m, c)
+        means.append(m); covs.append(c)
+    meas = np.column_stack([rng.uniform(0, 100, 9), rng.uniform(0, 100, 9),
+                            rng.uniform(0.3, 3, 9), rng.uniform(5, 80, 9)])
+    for only_pos in (False, True):
+        batched = kf.gating_distance_multi(
+            np.stack(means), np.stack(covs), meas, only_pos)
+        for i, (m, c) in enumerate(zip(means, covs)):
+            ref = kf.gating_distance(m, c, meas, only_pos)
+            np.testing.assert_allclose(batched[i], ref, rtol=1e-5, atol=1e-7)
+
+
+def test_nn_metric_segmented_min_matches_loop():
+    from object_detection_tracking_tpu.tracking.deep_sort.nn_matching import (
+        NearestNeighborDistanceMetric, _cosine_distance)
+    rng = np.random.RandomState(1)
+    metric = NearestNeighborDistanceMetric("cosine", 0.5, budget=5)
+    targets = [3, 7, 11]
+    metric.samples = {t: [rng.randn(16).astype(np.float32)
+                          for _ in range(rng.randint(1, 6))] for t in targets}
+    feats = rng.randn(4, 16).astype(np.float32)
+    got = metric.distance(feats, targets)
+    for i, t in enumerate(targets):
+        ref = _cosine_distance(np.asarray(metric.samples[t]), feats).min(0)
+        np.testing.assert_allclose(got[i], ref, rtol=1e-5, atol=1e-6)
