@@ -62,17 +62,17 @@ def matching_cascade(distance_metric: Callable, max_distance: float,
 
     unmatched_dets = list(detection_indices)
     matches = []
-    for level in range(cascade_depth):
+    # group tracks by age once: scanning all tracks per level was
+    # O(cascade_depth * T) per update and dominated with ~100 tracks
+    by_age = {}
+    for t in track_indices:
+        by_age.setdefault(tracks[t].time_since_update, []).append(t)
+    for age in sorted(a for a in by_age if 1 <= a <= cascade_depth):
         if not unmatched_dets:
             break
-        level_tracks = [
-            t for t in track_indices
-            if tracks[t].time_since_update == 1 + level]
-        if not level_tracks:
-            continue
         m, _, unmatched_dets = min_cost_matching(
             distance_metric, max_distance, tracks, detections,
-            level_tracks, unmatched_dets)
+            by_age[age], unmatched_dets)
         matches += m
     matched_track_ids = {t for t, _ in matches}
     unmatched_tracks = [t for t in track_indices if t not in matched_track_ids]

@@ -25,8 +25,18 @@ class Tracker:
         self._next_id = 1
 
     def predict(self):
-        for track in self.tracks:
-            track.predict(self.kf)
+        if not self.tracks:
+            return
+        # one batched predict for all tracks (kalman.multi_predict) —
+        # numerically identical to per-track kf.predict
+        means = np.stack([t.mean for t in self.tracks])
+        covs = np.stack([t.covariance for t in self.tracks])
+        means, covs = self.kf.multi_predict(means, covs)
+        for i, track in enumerate(self.tracks):
+            track.mean = means[i]
+            track.covariance = covs[i]
+            track.age += 1
+            track.time_since_update += 1
 
     def update(self, detections):
         matches, unmatched_tracks, unmatched_dets = self._match(detections)

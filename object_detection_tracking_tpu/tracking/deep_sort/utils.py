@@ -26,32 +26,33 @@ def create_obj_infos(boxes_xyxy: np.ndarray, labels: np.ndarray,
     (reference deep_sort/utils.py:5-44): boxes scaled back to original frame
     coords, optional COCO->ActEV class-name mapping, confidence and height
     filters. feats [R, C] are the on-device-pooled embeddings."""
-    dets = []
-    for i in np.flatnonzero(valid):
-        cat_name = classid2name.get(int(labels[i]))
-        if cat_name is None:
-            continue
-        if coco_to_actev is not None:
+    idx = np.flatnonzero(valid)
+    if idx.size == 0:
+        return []
+    # vectorized row filter (the per-row Python loop was hot at ~55
+    # detections/frame x 2 trackers); class names resolve per UNIQUE label
+    labels_v = labels[idx].astype(np.int64)
+    keep_label = np.zeros(idx.size, bool)
+    for lab in np.unique(labels_v):
+        cat_name = classid2name.get(int(lab))
+        if cat_name is not None and coco_to_actev is not None:
             cat_name = coco_to_actev.get(cat_name)
-            if cat_name is None:
-                continue
-        if cat_name != tracking_obj:
-            continue
-        conf = float(round(float(probs[i]), 7))
-        if conf < min_confidence:
-            continue
-        x1, y1, x2, y2 = boxes_xyxy[i] / scale
-        tlwh = np.array([x1, y1, x2 - x1, y2 - y1], np.float32)
-        if tlwh[2] <= 0.0 or tlwh[3] <= 0.0:
-            # Degenerate boxes (zero/negative extent) would divide-by-zero
-            # in Detection.to_xyah and poison the Kalman state with NaNs;
-            # the reference only gates height (deep_sort/utils.py:30), we
-            # hard-filter both extents.
-            continue
-        if tlwh[3] < min_detection_height:
-            continue
-        dets.append(Detection(tlwh, conf, feats[i]))
-    return dets
+        keep_label[labels_v == lab] = (cat_name == tracking_obj)
+    conf = np.round(probs[idx].astype(np.float64), 7)
+    b = boxes_xyxy[idx].astype(np.float32) / scale
+    w = b[:, 2] - b[:, 0]
+    h = b[:, 3] - b[:, 1]
+    # Degenerate boxes (zero/negative extent) would divide-by-zero in
+    # Detection.to_xyah and poison the Kalman state with NaNs; the
+    # reference only gates height (deep_sort/utils.py:30), we hard-filter
+    # both extents.
+    keep = (keep_label & (conf >= min_confidence) & (w > 0.0) & (h > 0.0)
+            & (h >= min_detection_height))
+    rows = idx[keep]
+    tlwh = np.stack([b[keep, 0], b[keep, 1], w[keep], h[keep]], axis=1)
+    confs = conf[keep]
+    return [Detection(tlwh[k], float(confs[k]), feats[i])
+            for k, i in enumerate(rows)]
 
 
 def det_level_nms(detections: List[Detection],
