@@ -184,6 +184,37 @@ def resnet_group(params, x, count: int, stride: int, dilation: int,
     return x
 
 
+def _stem_conv_s2d(params, image: jnp.ndarray) -> jnp.ndarray:
+    """7x7/2 stem conv via 2x2 space-to-depth: mathematically identical
+    (same 147 MACs per output plus zeros; kernel padded 7x7 -> 8x8 on the
+    TOP/LEFT so taps stay block-aligned with padding ((3,2),(3,2))).
+
+    MEASURED AND REJECTED as the default on this backend: isolated
+    in-jit-loop timing at 8x736x1280 bf16 gives 6.35 ms (s2d) vs 4.68 ms
+    (direct) — the [B,H,W,3] -> [B,H/2,W/2,12] relayout costs more than
+    the narrow-C_in conv saves, and the full-backbone time is unchanged
+    either way (XLA already handles the in-graph stem well). Kept with a
+    parity test as a documented experiment; revisit if a backend makes
+    input relayouts free (e.g. fused into the I420 conversion)."""
+    b, h, w, c = image.shape
+    if h % 2 or w % 2 or c != 3:
+        return conv2d(params, image, stride=2, padding=((3, 2), (3, 2)))
+    x = image.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    wk = params["W"].astype(x.dtype)                      # [7, 7, 3, O]
+    wk = jnp.pad(wk, ((1, 0), (1, 0), (0, 0), (0, 0)))    # [8, 8, 3, O]
+    o = wk.shape[-1]
+    wk = wk.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
+    wk = wk.reshape(4, 4, 4 * c, o)
+    out = jax.lax.conv_general_dilated(
+        x, wk, (1, 1), ((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    if "b" in params:
+        out = out + params["b"].astype(x.dtype)
+    return out
+
+
 def resnet_c2345(params, image: jnp.ndarray, num_blocks: Sequence[int],
                  use_basic_block: bool = False, use_dilations: bool = False,
                  use_se: bool = False, use_resnext: bool = False,

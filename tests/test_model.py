@@ -93,3 +93,24 @@ def test_small_object_head_outputs():
     assert ((fl[fv] >= 1) & (fl[fv] <= n_so)).all()
     fb = np.asarray(out["so_final_boxes"])
     assert fb[..., 0::2].max() <= 72 and fb[..., 1::2].max() <= 48
+
+
+def test_stem_s2d_matches_direct_conv():
+    """Space-to-depth stem == direct 7x7/2 conv (resnet.py:_stem_conv_s2d
+    rearranges the same 147 MACs; ~5x faster on the MXU)."""
+    import jax.numpy as jnp
+    from object_detection_tracking_tpu.models.resnet import _stem_conv_s2d
+    from object_detection_tracking_tpu.models.layers import conv2d
+    rng = np.random.RandomState(0)
+    params = {"W": jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32))}
+    x = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+    a = _stem_conv_s2d(params, x)
+    b = conv2d(params, x, stride=2, padding=((3, 2), (3, 2)))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-4, rtol=1e-5)
+    # odd extents fall back to the direct conv
+    x_odd = jnp.asarray(rng.randn(2, 63, 96, 3).astype(np.float32))
+    c = _stem_conv_s2d(params, x_odd)
+    d = conv2d(params, x_odd, stride=2, padding=((3, 2), (3, 2)))
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d),
+                               atol=2e-4, rtol=1e-5)
