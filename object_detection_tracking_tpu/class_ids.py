@@ -146,3 +146,79 @@ coco_obj_to_actev_obj = {
     "truck": "Vehicle",
     "bicycle": "Bike",
 }
+
+
+# BUPT-MCPRL experiment activity taxonomy (ref class_ids.py:361-389):
+# grouped Person-Vehicle / Vehicle-Turning super-classes + 8 singles.
+targetAct2id_bupt = {
+    "BG": 0,
+    "Person-Vehicle": 1,
+    "Vehicle-Turning": 2,
+    "activity_carrying": 3,
+    "Transport_HeavyCarry": 4,
+    "Talking": 5,
+    "Pull": 6,
+    "Riding": 7,
+    "specialized_texting_phone": 8,
+    "specialized_talking_phone": 9,
+}
+
+bupt_act_mapping = {
+    "Closing": "Person-Vehicle",
+    "Opening": "Person-Vehicle",
+    "Exiting": "Person-Vehicle",
+    "Entering": "Person-Vehicle",
+    "Unloading": "Person-Vehicle",
+    "Loading": "Person-Vehicle",
+    "Open_Trunk": "Person-Vehicle",
+    "Closing_Trunk": "Person-Vehicle",
+    "vehicle_turning_right": "Vehicle-Turning",
+    "vehicle_turning_left": "Vehicle-Turning",
+    "vehicle_u_turn": "Vehicle-Turning",
+}
+
+# MEVA dataset activity taxonomy (ref class_ids.py:391-438).
+targetAct2id_meva = {
+    "BG": 0,
+    "Person-Vehicle": 1,
+    "Person-Structure": 2,
+    "Vehicle-Turning": 3,
+    "Person_Heavy_Carry": 4,
+    "People_Talking": 5,
+    "Riding": 6,
+    "Person_Texting_on_Phone": 7,
+    "Person_Talking_on_Phone": 8,
+    "Person_Sitting_Down": 9,
+    "Person_Sets_Down_Object": 10,
+    "Person_Standing_Up": 11,
+    "Person_Picks_Up_Object": 12,
+    "Person_Purchasing": 13,
+    "Person_Reading_Document": 14,
+    "Object_Transfer": 15,
+    "Hand_Interaction": 16,
+    "Person-Person_Embrace": 17,
+    "Person-Laptop_Interaction": 18,
+    "Vehicle_Stopping": 19,
+    "Vehicle_Starting": 20,
+    "Vehicle_Reversing": 21,
+}
+
+meva_act_mapping = {
+    "Person_Exits_Vehicle": "Person-Vehicle",
+    "Person_Enters_Vehicle": "Person-Vehicle",
+    "Person_Opens_Vehicle_Door": "Person-Vehicle",
+    "Person_Closes_Vehicle_Door": "Person-Vehicle",
+    "Vehicle_Drops_Off_Person": "Person-Vehicle",
+    "Person_Unloads_Vehicle": "Person-Vehicle",
+    "Person_Loads_Vehicle": "Person-Vehicle",
+    "Person_Opens_Trunk": "Person-Vehicle",
+    "Person_Closes_Trunk": "Person-Vehicle",
+    "Vehicle_Picks_Up_Person": "Person-Vehicle",
+    "Vehicle_Turning_Right": "Vehicle-Turning",
+    "Vehicle_Turning_Left": "Vehicle-Turning",
+    "Vehicle_U-Turn": "Vehicle-Turning",
+    "Person_Enters_Through_Structure": "Person-Structure",
+    "Person_Exits_Through_Structure": "Person-Structure",
+    "Person_Opens_Facility_Door": "Person-Structure",
+    "Person_Closes_Facility_Door": "Person-Structure",
+}

@@ -54,8 +54,28 @@ def get_args(argv=None):
                         "(class_ids.targetAct2id)")
     parser.add_argument("--is_efficientdet", action="store_true")
     parser.add_argument("--efficientdet_modelname", default="efficientdet-d0")
+    parser.add_argument("--resnet18", action="store_true")
+    parser.add_argument("--resnet34", action="store_true")
     parser.add_argument("--resnet50", action="store_true")
     parser.add_argument("--resnet152", action="store_true")
+    # explicit architecture toggles on top of --version presets
+    # (ref obj_detect_tracking.py:134-228); None = keep preset value
+    parser.add_argument("--use_dilations", action="store_true",
+                        default=None)
+    parser.add_argument("--use_deformable", action="store_true",
+                        default=None)
+    parser.add_argument("--use_se", action="store_true", default=None)
+    parser.add_argument("--use_resnext", action="store_true", default=None)
+    parser.add_argument("--use_gn", action="store_true", default=None)
+    parser.add_argument("--use_frcnn_class_agnostic", action="store_true",
+                        default=None)
+    parser.add_argument("--use_att_frcnn_head", action="store_true",
+                        default=None)
+    parser.add_argument("--use_conv_frcnn_head", action="store_true",
+                        default=None)
+    parser.add_argument("--add_relation_nn", action="store_true",
+                        default=None)
+    parser.add_argument("--rpn_test_post_nms_topk", type=int, default=None)
     parser.add_argument("--max_size", type=int, default=1920)
     parser.add_argument("--short_edge_size", type=int, default=1080)
     parser.add_argument("--frame_gap", type=int, default=8)
@@ -64,6 +84,11 @@ def get_args(argv=None):
     parser.add_argument("--compute_dtype", default="bfloat16")
     parser.add_argument("--add_mask", action="store_true",
                         help="Mask-RCNN head: segmentation RLE in the json")
+    parser.add_argument("--get_box_feat", action="store_true",
+                        help="dump per-frame [N,7,7,C] ROI features "
+                        "(bf16-rounded) as box_feat_path/<video>/<frame>"
+                        ".npy (ref obj_detect_tracking.py:612-622)")
+    parser.add_argument("--box_feat_path", default=None)
     # tracking
     parser.add_argument("--get_tracking", action="store_true")
     parser.add_argument("--tracker", default="deep_sort",
@@ -114,8 +139,17 @@ def build_config(args) -> DetectorConfig:
         compute_dtype=args.compute_dtype,
         add_mask=getattr(args, "add_mask", False),
         resnet_depth=50 if args.resnet50 else (
-            152 if getattr(args, "resnet152", False) else 101),
+            152 if getattr(args, "resnet152", False) else (
+                18 if getattr(args, "resnet18", False) else (
+                    34 if getattr(args, "resnet34", False) else 101))),
     )
+    for f in ("use_dilations", "use_deformable", "use_se", "use_resnext",
+              "use_gn", "use_frcnn_class_agnostic", "use_att_frcnn_head",
+              "use_conv_frcnn_head", "add_relation_nn",
+              "rpn_test_post_nms_topk"):
+        v = getattr(args, f, None)
+        if v is not None:
+            overrides[f] = v
     if getattr(args, "is_efficientdet", False):
         from ..models.efficientdet import EFFICIENTDET_CONFIGS
         size = EFFICIENTDET_CONFIGS[args.efficientdet_modelname][1]
@@ -201,6 +235,12 @@ def process_video(args, cfg, runner, video_path, classid2name,
             valid = host_out["final_valid"][bi]
             feats = host_out["pooled_box_feat"][bi]
             frames_done += 1
+
+            if getattr(args, "get_box_feat", False):
+                feat_dir = os.path.join(args.box_feat_path, videoname)
+                os.makedirs(feat_dir, exist_ok=True)
+                np.save(os.path.join(feat_dir, "%d.npy" % cur_frame),
+                        host_out["fpn_box_feat"][bi][valid])
 
             if args.get_tracking:
                 for obj in tracking_objs:
@@ -337,7 +377,11 @@ def main(argv=None):
         mesh = make_mesh(n_data=n_dev, n_model=1)
         print(f"inference sharded over {n_dev} chips")
     runner = DetectionRunner(model, params,
-                             emb_agg=args.emb_agg_method, mesh=mesh)
+                             emb_agg=args.emb_agg_method, mesh=mesh,
+                             ship_full_feat=args.get_box_feat)
+    if args.get_box_feat:
+        assert args.box_feat_path is not None, \
+            "--get_box_feat needs --box_feat_path" 
 
     classid2name = cfg.classid2name
     coco_to_actev = None

@@ -15,7 +15,7 @@ from collections import defaultdict
 
 import numpy as np
 
-from ..class_ids import targetClass2id
+from ..class_ids import targetAct2id_bupt, targetClass2id
 
 
 def get_args(argv=None):
@@ -26,6 +26,9 @@ def get_args(argv=None):
     p.add_argument("despath", help="output json dir")
     p.add_argument("--merged", action="store_true",
                    help="single txt per video (tracks_to_json.py layout)")
+    p.add_argument("--bupt_exp", action="store_true",
+                   help="use the BUPT activity taxonomy "
+                        "(ref track_to_json.py:28-29)")
     return p.parse_args(argv)
 
 
@@ -53,7 +56,8 @@ def track_txt_to_frames(txt_path: str, cat_name: str, cat_id: int):
 
 def main(argv=None):
     args = get_args(argv)
-    cat_id = targetClass2id.get(args.cat_name, 0)
+    cat_map = targetAct2id_bupt if args.bupt_exp else targetClass2id
+    cat_id = cat_map.get(args.cat_name, 0)
     os.makedirs(args.despath, exist_ok=True)
     with open(args.videonamelst) as f:
         videos = [os.path.splitext(os.path.basename(l.strip()))[0]

@@ -32,7 +32,7 @@ class DetectionRunner:
 
     def __init__(self, model, params, depth: int = 2,
                  temporal_delta: bool = True, emb_agg: str = "average",
-                 mesh=None):
+                 mesh=None, ship_full_feat: bool = False):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — the frame
         batch is sharded across every chip and XLA runs one program over
         the mesh (the reference scaled inference out as N independent
@@ -48,6 +48,10 @@ class DetectionRunner:
         elif emb_agg not in ("max", "spatial"):
             raise ValueError(f"unknown emb_agg {emb_agg!r}")
         self.emb_agg = emb_agg
+        # --get_box_feat mode (ref obj_detect_tracking.py:612-622): also
+        # read back the FULL [R, 7, 7, C] ROI features (bf16 halves) so
+        # the CLI can dump per-frame .npy feature files
+        self.ship_full_feat = ship_full_feat
         # Lossless inter-frame delta transfer: the host ships uint8-
         # wraparound diffs; the device reconstructs exactly with a mod-256
         # cumsum inside the jit. The host->device link compresses its
@@ -140,6 +144,14 @@ class DetectionRunner:
             jax.lax.bitcast_convert_type(
                 out["pooled_box_feat"].astype(jnp.bfloat16), jnp.uint16),
         ]
+        if self.ship_full_feat:
+            if "fpn_box_feat" not in out:
+                raise ValueError(
+                    "ship_full_feat needs the model to output the full "
+                    "7x7 ROI features (fpn_box_feat)")
+            parts.append(jax.lax.bitcast_convert_type(
+                out["fpn_box_feat"].astype(jnp.bfloat16),
+                jnp.uint16).reshape(b, r, -1))
         if "final_masks" in out:
             parts.append(jax.lax.bitcast_convert_type(
                 out["final_masks"].astype(jnp.bfloat16),
@@ -153,7 +165,12 @@ class DetectionRunner:
     def _unpack(self, packed: np.ndarray) -> Dict[str, np.ndarray]:
         has_masks = getattr(self.model.config, "add_mask", False)
         b, r = packed.shape[:2]
-        feat_end = packed.shape[-1] - (784 if has_masks else 0)
+        mask_dim = 784 if has_masks else 0
+        body = packed.shape[-1] - 14 - mask_dim
+        full_dim = 0
+        if self.ship_full_feat:
+            full_dim = 49 * getattr(self.model.config, "fpn_num_channel")
+        feat_end = 14 + body - full_dim
         small = np.ascontiguousarray(
             packed[..., :14]).view(np.float32)           # [B, R, 7]
         feats = self._bf16_bits_to_f32(packed[..., 14:feat_end])
@@ -164,9 +181,14 @@ class DetectionRunner:
             "final_valid": small[..., 6] > 0.5,
             "pooled_box_feat": feats,
         }
+        if full_dim:
+            c = full_dim // 49
+            out["fpn_box_feat"] = self._bf16_bits_to_f32(
+                packed[..., feat_end:feat_end + full_dim]
+            ).reshape(b, r, 7, 7, c)
         if has_masks:
             out["final_masks"] = self._bf16_bits_to_f32(
-                packed[..., feat_end:]).reshape(b, r, 28, 28)
+                packed[..., -mask_dim:]).reshape(b, r, 28, 28)
         return out
 
     def run(self, batches: Iterable[Tuple[np.ndarray, object]]
