@@ -36,8 +36,28 @@ def get_args(argv=None):
     parser.add_argument("--num_class", type=int, default=16)
     parser.add_argument("--is_coco_model", action="store_true")
     parser.add_argument("--use_partial_classes", action="store_true")
+    parser.add_argument("--resnet18", action="store_true")
+    parser.add_argument("--resnet34", action="store_true")
     parser.add_argument("--resnet50", action="store_true")
     parser.add_argument("--resnet152", action="store_true")
+    parser.add_argument("--is_efficientdet", action="store_true")
+    parser.add_argument("--efficientdet_modelname", default="efficientdet-d0")
+    parser.add_argument("--add_mask", action="store_true",
+                        help="Mask-RCNN head: segmentation RLE in the json")
+    parser.add_argument("--actasobj", action="store_true")
+    # architecture toggles layered over --version (None = preset value)
+    for flag in ("use_dilations", "use_deformable", "use_se", "use_resnext",
+                 "use_gn", "use_frcnn_class_agnostic", "use_att_frcnn_head",
+                 "use_conv_frcnn_head", "add_relation_nn"):
+        parser.add_argument("--" + flag, action="store_true", default=None)
+    parser.add_argument("--rpn_test_post_nms_topk", type=int, default=None)
+    parser.add_argument("--person_only", action="store_true",
+                        help="only write Person detections")
+    parser.add_argument("--only_classes", default=None,
+                        help="comma list: only write these class names")
+    parser.add_argument("--visualize", action="store_true")
+    parser.add_argument("--vis_path", default="/tmp/vis")
+    parser.add_argument("--vis_thres", type=float, default=0.7)
     parser.add_argument("--max_size", type=int, default=1920)
     parser.add_argument("--short_edge_size", type=int, default=1080)
     parser.add_argument("--im_batch_size", type=int, default=1)
@@ -58,7 +78,8 @@ def main(argv=None):
     from ..models import get_model
     from ..utils.weights import load_weights
 
-    model = get_model(cfg)
+    model = get_model(
+        cfg, "efficientdet" if args.is_efficientdet else "faster_rcnn")
     if args.model_path:
         params = load_weights(args.model_path, model)
     else:
@@ -68,6 +89,11 @@ def main(argv=None):
     runner = DetectionRunner(model, params)
     classid2name = cfg.classid2name
 
+    only = None
+    if args.person_only:
+        only = {"Person", "person"}
+    elif args.only_classes:
+        only = set(args.only_classes.split(","))
     with open(args.img_lst) as f:
         paths = [l.strip() for l in f if l.strip()]
     os.makedirs(args.out_dir, exist_ok=True)
@@ -88,9 +114,17 @@ def main(argv=None):
             scale = batch["scales"][bi]
             valid = host["final_valid"][bi]
             pred = []
+            vis_rows = []
             for i in np.flatnonzero(valid):
                 box = host["final_boxes"][bi][i] / scale
                 cat_id = int(host["final_labels"][bi][i])
+                if only is not None and \
+                        classid2name.get(cat_id) not in only:
+                    continue
+                if args.visualize and \
+                        host["final_probs"][bi][i] >= args.vis_thres:
+                    vis_rows.append((box, cat_id,
+                                     float(host["final_probs"][bi][i])))
                 pred.append({
                     "category_id": cat_id,
                     "cat_name": classid2name.get(cat_id, str(cat_id)),
@@ -104,6 +138,19 @@ def main(argv=None):
             out_name = os.path.splitext(img_name)[0] + ".json"
             with open(os.path.join(args.out_dir, out_name), "w") as f:
                 json.dump(pred, f)
+            if args.visualize and vis_rows:
+                import cv2
+
+                from ..utils.viz import draw_boxes
+                im = cv2.imread(batch["img_paths"][bi])
+                if im is not None:
+                    labels = ["%s_%.2f" % (classid2name.get(c, "?"), pb)
+                              for _, c, pb in vis_rows]
+                    newim = draw_boxes(im, [b for b, _, _ in vis_rows],
+                                       labels)
+                    os.makedirs(args.vis_path, exist_ok=True)
+                    cv2.imwrite(os.path.join(
+                        args.vis_path, os.path.basename(img_name)), newim)
             count += 1
     elapsed = time.time() - start
     print("processed %d images in %.1fs (%.2f/s)"

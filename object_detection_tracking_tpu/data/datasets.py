@@ -39,6 +39,7 @@ class ImageDataset:
         return {
             "img": im,
             "img_name": os.path.basename(path),
+            "img_path": path,
             "scale": scale,
             "orig_hw": (h, w),
         }
@@ -54,6 +55,7 @@ class ImageDataset:
         return {
             "imgs": imgs,
             "img_names": [s["img_name"] for s in samples],
+            "img_paths": [s.get("img_path") for s in samples],
             "scales": [s["scale"] for s in samples],
             "orig_hws": [s["orig_hw"] for s in samples],
         }
