@@ -39,6 +39,14 @@ def get_args(argv=None):
     parser.add_argument("--skip_not_exist_out", action="store_true")
     parser.add_argument("--eval_target", default=None,
                         help="comma-separated class names")
+    parser.add_argument("--scene", default=None,
+                        help="only eval videos of this ActEV scene id "
+                        "(parsed from VIRAT_S_<scene>... names, ref "
+                        "eval.py:41-45,95-103)")
+    parser.add_argument("--bupt_exp", action="store_true",
+                        help="BUPT activity-as-object eval targets")
+    parser.add_argument("--meva_exp", action="store_true",
+                        help="MEVA activity-as-object eval targets")
     parser.add_argument("--coco_eval", action="store_true",
                         help="also print COCO-protocol mAP@[.5:.95] "
                         "(native, pycocotools-free)")
@@ -74,10 +82,23 @@ def main(argv=None):
     args = get_args(argv)
     files = sorted(os.path.splitext(os.path.basename(l.strip()))[0]
                    for l in open(args.filelst) if l.strip())[::args.skip]
+    if args.scene is not None:
+        def get_scene(videoname):
+            return videoname.split("_S_")[-1].split("_")[0][:4]
+        kept = [f for f in files if get_scene(f) == args.scene]
+        print("only eval scene %s, got %s/%s files"
+              % (args.scene, len(kept), len(files)))
+        files = kept
 
     eval_target = (args.eval_target.split(",") if args.eval_target
                    else (["Person", "Vehicle", "Bike"] if args.is_coco_model
                          else DEFAULT_EVAL_TARGET))
+    if args.bupt_exp:
+        from ..class_ids import targetAct2id_bupt
+        eval_target = [c for c in targetAct2id_bupt if c != "BG"]
+    elif args.meva_exp:
+        from ..class_ids import targetAct2id_meva
+        eval_target = [c for c in targetAct2id_meva if c != "BG"]
     if args.merge_prop and "Prop_plus_Push_Pulled_Object" not in eval_target:
         eval_target = eval_target + ["Prop_plus_Push_Pulled_Object"]
     eval_target = {one: 1 for one in eval_target}
