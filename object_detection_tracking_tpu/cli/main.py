@@ -37,7 +37,28 @@ def get_args(argv=None):
     # model
     p.add_argument("--version", type=int, default=4)
     p.add_argument("--num_class", type=int, default=16)
+    p.add_argument("--resnet18", action="store_true")
+    p.add_argument("--resnet34", action="store_true")
     p.add_argument("--resnet50", action="store_true")
+    p.add_argument("--resnet152", action="store_true")
+    # explicit architecture / head / sampling overrides layered on top of
+    # --version presets (reference main.py flag surface); None = preset
+    for flag in ("use_dilations", "use_deformable", "use_se", "use_resnext",
+                 "use_gn", "use_frcnn_class_agnostic", "use_att_frcnn_head",
+                 "use_conv_frcnn_head", "add_relation_nn", "focal_loss",
+                 "use_small_object_head"):
+        p.add_argument("--" + flag, action="store_true", default=None)
+    p.add_argument("--rpn_batch_size", type=int, default=None,
+                   help="rpn_batch_per_im (ref main.py --rpn_batch_size)")
+    p.add_argument("--frcnn_batch_size", type=int, default=None,
+                   help="fastrcnn_batch_per_im")
+    p.add_argument("--fastrcnn_fg_ratio", type=float, default=None)
+    p.add_argument("--positive_anchor_thres", type=float, default=None)
+    p.add_argument("--negative_anchor_thres", type=float, default=None)
+    p.add_argument("--rpn_test_post_nms_topk", type=int, default=None)
+    p.add_argument("--fastrcnn_nms_iou_thres", type=float, default=None)
+    p.add_argument("--result_score_thres", type=float, default=None)
+    p.add_argument("--result_per_im", type=int, default=None)
     p.add_argument("--max_size", type=int, default=1920)
     p.add_argument("--short_edge_size", type=int, default=1080)
     p.add_argument("--compute_dtype", default="bfloat16")
@@ -47,8 +68,20 @@ def get_args(argv=None):
     # train
     p.add_argument("--init_lr", type=float, default=0.003)
     p.add_argument("--optimizer", default="momentum")
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--lr_schedule", default="cosine",
+                   choices=["cosine", "exp", "constant"],
+                   help="reference --use_cosine_schedule/--use_exp_schedule")
     p.add_argument("--wd", type=float, default=1e-4)
     p.add_argument("--num_epochs", type=int, default=12)
+    p.add_argument("--num_step", type=int, default=None,
+                   help="cap total steps (overrides epochs*steps/epoch)")
+    p.add_argument("--use_mixup", action="store_true",
+                   help="Beta(1.5,1.5) two-frame mixup augmentation")
+    p.add_argument("--train_skip", type=int, default=1,
+                   help="use every Nth training sample (ref --train_skip)")
+    p.add_argument("--val_skip", type=int, default=1)
+    p.add_argument("--skip_first_eval", action="store_true")
     p.add_argument("--im_batch_size", type=int, default=1)
     p.add_argument("--warmup_steps", type=int, default=1000)
     p.add_argument("--clip_gradient_norm", type=float, default=None)
@@ -63,13 +96,29 @@ def get_args(argv=None):
 def build(args, is_train: bool):
     from ..config import DetectorConfig
     from ..models import get_model
-    cfg = DetectorConfig.from_version(
-        args.version,
+    overrides = dict(
         num_class=args.num_class,
-        resnet_depth=50 if args.resnet50 else 101,
+        resnet_depth=50 if args.resnet50 else (
+            152 if getattr(args, "resnet152", False) else (
+                18 if getattr(args, "resnet18", False) else (
+                    34 if getattr(args, "resnet34", False) else 101))),
         short_edge_size=args.short_edge_size, max_size=args.max_size,
         compute_dtype=args.compute_dtype, is_train=is_train,
         freeze=args.freeze, add_mask=getattr(args, "add_mask", False))
+    remap = {"rpn_batch_size": "rpn_batch_per_im",
+             "frcnn_batch_size": "fastrcnn_batch_per_im"}
+    for flag in ("use_dilations", "use_deformable", "use_se", "use_resnext",
+                 "use_gn", "use_frcnn_class_agnostic", "use_att_frcnn_head",
+                 "use_conv_frcnn_head", "add_relation_nn", "focal_loss",
+                 "use_small_object_head", "rpn_batch_size",
+                 "frcnn_batch_size", "fastrcnn_fg_ratio",
+                 "positive_anchor_thres", "negative_anchor_thres",
+                 "rpn_test_post_nms_topk", "fastrcnn_nms_iou_thres",
+                 "result_score_thres", "result_per_im"):
+        v = getattr(args, flag, None)
+        if v is not None:
+            overrides[remap.get(flag, flag)] = v
+    cfg = DetectorConfig.from_version(args.version, **overrides)
     return cfg, get_model(cfg)
 
 
@@ -143,6 +192,10 @@ def run_eval(args, cfg, model, params, cache=None) -> float:
         args.valannopath or args.annopath, cfg.classname2id,
         cfg.short_edge_size, cfg.max_size, batch_size=n_dev,
         max_gt=args.max_gt, shuffle=False, flip_prob=0.0)
+    val_skip = getattr(args, "val_skip", 1)
+    if val_skip > 1:
+        ds.samples = ds.samples[::val_skip]
+        ds.num_samples = len(ds.samples)
 
     if cache is None:
         cache = {}
@@ -211,13 +264,19 @@ def mode_train(args):
         args.trainlst, args.framepath, args.annopath, cfg.classname2id,
         cfg.short_edge_size, cfg.max_size, batch_size=args.im_batch_size,
         max_gt=args.max_gt, flip_prob=args.flip_prob,
-        with_masks=cfg.add_mask)
+        use_mixup=args.use_mixup, with_masks=cfg.add_mask)
+    if args.train_skip > 1:
+        ds.samples = ds.samples[::args.train_skip]
+        ds.num_samples = len(ds.samples)
     steps_per_epoch = max(1, ds.num_samples // args.im_batch_size)
     total_steps = steps_per_epoch * args.num_epochs
+    if args.num_step:
+        total_steps = min(total_steps, args.num_step)
     print(f"{ds.num_samples} samples, {total_steps} steps")
 
     tcfg = TrainConfig(
         optimizer=args.optimizer, init_lr=args.init_lr, wd=args.wd,
+        momentum=args.momentum, lr_schedule=args.lr_schedule,
         warmup_steps=args.warmup_steps, warmup_init_lr=args.init_lr / 10,
         total_steps=total_steps,
         clip_gradient_norm=args.clip_gradient_norm)
@@ -264,7 +323,8 @@ def mode_train(args):
                 t0 = time.time()
             if step % args.save_every == 0:
                 save_ckpt(checkpoint_dir(args), state, step)
-            if args.vallst and step % args.eval_every == 0:
+            if args.vallst and step % args.eval_every == 0 and \
+                    not (args.skip_first_eval and step == args.eval_every):
                 ap = run_eval(args, cfg, model, state["params"],
                               cache=eval_cache)
                 if ap > best_ap:
