@@ -78,6 +78,11 @@ def get_args(argv=None):
                    help="cap total steps (overrides epochs*steps/epoch)")
     p.add_argument("--use_mixup", action="store_true",
                    help="Beta(1.5,1.5) two-frame mixup augmentation")
+    p.add_argument("--scale_jitter", action="store_true",
+                   help="short edge ~ U[short_edge_size_min, _max] per "
+                   "train image (ref models.py:1522)")
+    p.add_argument("--short_edge_size_min", type=int, default=640)
+    p.add_argument("--short_edge_size_max", type=int, default=800)
     p.add_argument("--train_skip", type=int, default=1,
                    help="use every Nth training sample (ref --train_skip)")
     p.add_argument("--val_skip", type=int, default=1)
@@ -264,7 +269,10 @@ def mode_train(args):
         args.trainlst, args.framepath, args.annopath, cfg.classname2id,
         cfg.short_edge_size, cfg.max_size, batch_size=args.im_batch_size,
         max_gt=args.max_gt, flip_prob=args.flip_prob,
-        use_mixup=args.use_mixup, with_masks=cfg.add_mask)
+        use_mixup=args.use_mixup, with_masks=cfg.add_mask,
+        short_edge_jitter=((args.short_edge_size_min,
+                            args.short_edge_size_max)
+                           if args.scale_jitter else None))
     if args.train_skip > 1:
         ds.samples = ds.samples[::args.train_skip]
         ds.num_samples = len(ds.samples)

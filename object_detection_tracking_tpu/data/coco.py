@@ -78,6 +78,8 @@ class CocoTrainDataset(DetectionTrainDataset):
         self.use_mixup = kw.get("use_mixup", False)
         self.with_masks = kw.get("with_masks", False)
         self.mask_size = kw.get("mask_size", 28)
+        self.short_edge_jitter = kw.get("short_edge_jitter")
+        self._canvas = None
         import random
         self.rng = random.Random(kw.get("seed", 0))
         self.num_samples = len(self.samples)

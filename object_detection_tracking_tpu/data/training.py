@@ -46,7 +46,8 @@ class DetectionTrainDataset:
                  max_size: int, batch_size: int = 1, max_gt: int = 100,
                  shuffle: bool = True, seed: int = 0,
                  flip_prob: float = 0.5, use_mixup: bool = False,
-                 with_masks: bool = False, mask_size: int = 28):
+                 with_masks: bool = False, mask_size: int = 28,
+                 short_edge_jitter=None):
         with open(lst_file) as f:
             names = [l.strip() for l in f if l.strip()]
         self.samples = []
@@ -66,6 +67,12 @@ class DetectionTrainDataset:
         # mixup (reference models.py get_feed_dict mixup branch): blend two
         # frames with a Beta(1.5, 1.5) weight and take the union of boxes
         self.use_mixup = use_mixup
+        # scale-jitter augmentation (ref models.py:1522-1524: short edge
+        # ~ U[min, max] per image at train time). Batches then pad to a
+        # monotonically-growing canvas so XLA recompiles only on growth
+        # (a handful of times), not per batch.
+        self.short_edge_jitter = short_edge_jitter
+        self._canvas = None
         # instance masks for Mask-RCNN training: box-local [G, ms, ms]
         # rasterizations (npz key "masks"; COCO polygons rasterized by the
         # CocoTrainDataset subclass)
@@ -77,7 +84,11 @@ class DetectionTrainDataset:
     def _load_one(self, img_path: str, anno_path: str, flip: bool):
         im = cv2.imread(img_path, cv2.IMREAD_COLOR)
         h, w = im.shape[:2]
-        neww, newh = get_new_hw(h, w, self.short_edge_size, self.max_size)
+        se = self.short_edge_size
+        if self.short_edge_jitter is not None and self.shuffle:
+            lo, hi = self.short_edge_jitter
+            se = self.rng.randint(lo, hi)
+        neww, newh = get_new_hw(h, w, se, self.max_size)
         if (neww, newh) != (w, h):
             im = cv2.resize(im, (neww, newh), interpolation=cv2.INTER_LINEAR)
         sx, sy = neww / w, newh / h
@@ -171,6 +182,13 @@ class DetectionTrainDataset:
                     assert hmax <= pad_to[0] and wmax <= pad_to[1], \
                         ((hmax, wmax), pad_to)
                     hmax, wmax = pad_to
+                elif self.short_edge_jitter is not None:
+                    # grow-only canvas: jittered sizes vary per batch
+                    if self._canvas is None:
+                        self._canvas = (hmax, wmax)
+                    self._canvas = (max(self._canvas[0], hmax),
+                                    max(self._canvas[1], wmax))
+                    hmax, wmax = self._canvas
                 images = np.zeros((len(ims), hmax, wmax, 3), np.uint8)
                 g = self.max_gt
                 gt_boxes = np.zeros((len(ims), g, 4), np.float32)

@@ -233,3 +233,26 @@ def test_training_dataset_masks_and_flip(tmp_path):
         shuffle=False, flip_prob=0.0, with_masks=True)
     im, b, l, mk = ds2._load_one(*ds2.samples[0], flip=True)
     assert mk[0][:, 14:].mean() == 1.0 and mk[0][:, :14].mean() == 0.0
+
+
+def test_scale_jitter_grow_only_canvas(tmp_path):
+    """scale_jitter resizes each image to a sampled short edge
+    (ref models.py:1522-1524) and batches pad to a grow-only canvas so
+    XLA recompiles only on growth."""
+    from object_detection_tracking_tpu.data.synthetic import generate_dataset
+    from object_detection_tracking_tpu.data.training import (
+        DetectionTrainDataset)
+    lst = generate_dataset(str(tmp_path), 8, image_hw=(80, 80))
+    ds = DetectionTrainDataset(
+        lst, str(tmp_path / "frames"), str(tmp_path / "anno"),
+        {"BG": 0, "Person": 1, "Vehicle": 2, "Bike": 3}, 64, 128,
+        batch_size=2, short_edge_jitter=(32, 64), seed=3)
+    shapes, box_maxes = set(), []
+    for images, gt_boxes, gt_labels, gt_valid in ds.batches(3):
+        shapes.add(images.shape)
+        if gt_valid.any():
+            box_maxes.append(float(gt_boxes[gt_valid].max()))
+    assert len(shapes) <= 3, shapes  # grow-only, not per-batch shapes
+    h = max(s[1] for s in shapes)
+    assert 32 <= h <= 64
+    assert all(m <= h + 1e-3 for m in box_maxes)  # boxes rescaled with im
