@@ -166,3 +166,21 @@ def test_runner_cross_batch_carry_across_run_calls():
         want = [h["final_boxes"] for h, _ in ref.run(iter(call))]
         for a, b in zip(got, want):
             np.testing.assert_array_equal(a, b)
+
+
+def test_runner_ship_full_feat_roundtrip():
+    """ship_full_feat packs the full [R,7,7,C] ROI features (bf16) into
+    the single readback (--get_box_feat mode)."""
+    model = FakeModel()
+    model.config.fpn_num_channel = 8
+    runner = DetectionRunner(model, {}, ship_full_feat=True)
+    batch = [(np.zeros((2, 8, 8, 3), np.uint8), 0)]
+    (h, _), = runner.run(iter(batch))
+    assert h["fpn_box_feat"].shape == (2, 4, 7, 7, 8)
+    grid = np.arange(49, dtype=np.float32).reshape(7, 7)
+    np.testing.assert_allclose(h["fpn_box_feat"][0, 0, :, :, 0], grid,
+                               atol=0.25)  # bf16 rounding
+    # pooled feats still intact alongside
+    np.testing.assert_allclose(h["pooled_box_feat"][0, 0],
+                               np.full(8, grid.mean()), atol=0.05)
+    del model.config.fpn_num_channel
