@@ -79,9 +79,10 @@ def fuse_motion(kf, cost_matrix: np.ndarray, tracks: List, detections: List,
     gating_dim = 2 if only_position else 4
     gating_threshold = chi2inv95[gating_dim]
     measurements = np.asarray([d.to_xyah() for d in detections])
-    for row, track in enumerate(tracks):
-        gd = kf.gating_distance(track.mean, track.covariance, measurements,
-                                only_position, metric="maha")
-        cost_matrix[row, gd > gating_threshold] = np.inf
-        cost_matrix[row] = lambda_ * cost_matrix[row] + (1 - lambda_) * gd
-    return cost_matrix
+    means = np.stack([t.mean for t in tracks])
+    covs = np.stack([t.covariance for t in tracks])
+    # one batched Cholesky+solve for all tracks (kalman.py:
+    # gating_distance_multi) instead of a per-track Python loop
+    gd = kf.gating_distance_multi(means, covs, measurements, only_position)
+    cost_matrix[gd > gating_threshold] = np.inf
+    return lambda_ * cost_matrix + (1 - lambda_) * gd
