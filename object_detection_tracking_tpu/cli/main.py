@@ -34,6 +34,10 @@ def get_args(argv=None):
     p.add_argument("--outbasepath", default="runs/detector")
     p.add_argument("--modelname", default="odt")
     p.add_argument("--load_from", default=None)
+    p.add_argument("--ignore_vars", default=None,
+                   help="':'-separated name substrings excluded from "
+                   "--load_from restore (fine-tune with fresh heads, "
+                   "ref models.py:3507-3525)")
     # model
     p.add_argument("--version", type=int, default=4)
     p.add_argument("--num_class", type=int, default=16)
@@ -290,7 +294,8 @@ def mode_train(args):
         clip_gradient_norm=args.clip_gradient_norm)
     params = model.init_params(jax.random.PRNGKey(0))
     if args.load_from:
-        params = load_weights(args.load_from, model)
+        params = load_weights(args.load_from, model,
+                              ignore_vars=args.ignore_vars)
 
     n_dev = jax.local_device_count()
     mesh = make_mesh(n_data=n_dev, n_model=1)

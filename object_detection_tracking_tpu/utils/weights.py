@@ -139,12 +139,12 @@ def save_npz(path: str, params: Dict):
     np.savez(path, **flat)
 
 
-def load_npz(path: str, model) -> Dict:
+def load_npz(path: str, model, ignore_vars: str = None) -> Dict:
     """Load our native flat slash-named npz."""
     import jax.random
     params = model.init_params(jax.random.PRNGKey(0))
     params = jax.tree.map(np.asarray, params)
-    weights = dict(np.load(path))
+    weights = _filter_ignored(dict(np.load(path)), ignore_vars)
     for name, value in weights.items():
         _set_path(params, tuple(name.split("/")), value, strict=True)
     return jax.tree.map(jax.numpy.asarray, params)
@@ -154,10 +154,27 @@ def _is_efficientdet(model) -> bool:
     return hasattr(model, "fpn_repeats") and hasattr(model, "backbone_name")
 
 
-def load_weights(path: str, model) -> Dict:
+def _filter_ignored(weights: Dict[str, np.ndarray], ignore_vars):
+    """Drop tensors whose name contains any ':'-separated substring
+    (reference --ignore_vars, models.py:3507-3525); dropped params keep
+    their fresh init — the fine-tune-with-new-heads workflow."""
+    if not ignore_vars:
+        return weights
+    subs = [s for s in ignore_vars.split(":") if s]
+    kept = {}
+    for k, v in weights.items():
+        if any(sub in k for sub in subs):
+            print(f"ignored {k}")
+        else:
+            kept[k] = v
+    return kept
+
+
+def load_weights(path: str, model, ignore_vars: str = None) -> Dict:
     """Dispatch on checkpoint flavor (reference initialize,
     models.py:3489-3595 handles ckpt dir / single .ckpt / .npz; automl
-    EfficientDet ckpts per efficientdet_wrapper.py)."""
+    EfficientDet ckpts per efficientdet_wrapper.py). ignore_vars: ':'-
+    separated name substrings excluded from the restore."""
     if path.endswith(".npz"):
         keys = np.load(path).files
         if _is_efficientdet(model) and any(
@@ -165,21 +182,24 @@ def load_weights(path: str, model) -> Dict:
                     ("efficientnet-", "fpn_cells/", "resample_p6/"))
                 for k in keys[:80]):
             from .effdet_weights import load_effdet_reference
-            return load_effdet_reference(dict(np.load(path)), model,
-                                         source=path)
+            return load_effdet_reference(
+                _filter_ignored(dict(np.load(path)), ignore_vars), model,
+                source=path)
         if any(k.endswith(":0") or k.startswith(
                 ("group0/", "conv0/", "fpn/", "rpn/", "fastrcnn/"))
                and "resnet/" not in k for k in keys[:50]):
             # TF-named checkpoint unless it already uses our "resnet/" root
             if not any(k.startswith("resnet/") for k in keys):
-                return load_reference_npz(path, model)
-        return load_npz(path, model)
+                return load_reference_dict(
+                    _filter_ignored(dict(np.load(path)), ignore_vars),
+                    model, source=path)
+        return load_npz(path, model, ignore_vars=ignore_vars)
     # TF V2 checkpoint: a prefix/.index path or a directory with a
     # 'checkpoint' state file — read TF-free via the tensor-bundle parser
     if (os.path.isdir(path) or path.endswith(".index") or
             os.path.exists(path + ".index")):
         from .tf_ckpt import load_tf_checkpoint
-        tensors = load_tf_checkpoint(path)
+        tensors = _filter_ignored(load_tf_checkpoint(path), ignore_vars)
         if _is_efficientdet(model):
             from .effdet_weights import load_effdet_reference
             return load_effdet_reference(tensors, model, source=path)
