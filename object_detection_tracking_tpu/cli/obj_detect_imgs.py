@@ -42,6 +42,8 @@ def get_args(argv=None):
     parser.add_argument("--resnet152", action="store_true")
     parser.add_argument("--is_efficientdet", action="store_true")
     parser.add_argument("--efficientdet_modelname", default="efficientdet-d0")
+    parser.add_argument("--efficientdet_max_detection_topk", type=int,
+                        default=5000)
     parser.add_argument("--add_mask", action="store_true",
                         help="Mask-RCNN head: segmentation RLE in the json")
     parser.add_argument("--actasobj", action="store_true")

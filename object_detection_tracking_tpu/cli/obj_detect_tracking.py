@@ -54,6 +54,8 @@ def get_args(argv=None):
                         "(class_ids.targetAct2id)")
     parser.add_argument("--is_efficientdet", action="store_true")
     parser.add_argument("--efficientdet_modelname", default="efficientdet-d0")
+    parser.add_argument("--efficientdet_max_detection_topk", type=int,
+                        default=5000)
     parser.add_argument("--resnet18", action="store_true")
     parser.add_argument("--resnet34", action="store_true")
     parser.add_argument("--resnet50", action="store_true")
@@ -155,8 +157,11 @@ def build_config(args) -> DetectorConfig:
         size = EFFICIENTDET_CONFIGS[args.efficientdet_modelname][1]
         # fit-into-square resize: short_edge = max_size = image_size makes
         # get_new_hw produce scale = image_size / max(h, w)
-        overrides.update(short_edge_size=size, max_size=size,
-                         efficientdet_name=args.efficientdet_modelname)
+        overrides.update(
+            short_edge_size=size, max_size=size,
+            efficientdet_name=args.efficientdet_modelname,
+            efficientdet_max_detection_topk=getattr(
+                args, "efficientdet_max_detection_topk", 5000))
         overrides.pop("num_class", None)  # COCO models are always 81
         if args.use_partial_classes:
             return DetectorConfig.coco_partial(**overrides)

@@ -121,6 +121,9 @@ class DetectorConfig:
     roi_align_impl: str = "pallas"
     # EfficientDet variant when model="efficientdet"
     efficientdet_name: str = "efficientdet-d0"
+    # global pre-NMS candidate cap (ref --efficientdet_max_detection_topk,
+    # efficientdet_wrapper.py:242; reference commands use 5000)
+    efficientdet_max_detection_topk: int = 5000
     mesh_axis_data: str = "data"
     mesh_axis_model: str = "model"
 

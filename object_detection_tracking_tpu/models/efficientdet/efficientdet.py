@@ -252,7 +252,8 @@ class EfficientDet:
         if self.partial_score_idx is not None:
             scores_all = scores_all[:, self.partial_score_idx]
         best = scores_all.max(axis=1)
-        k = min(2000, best.shape[0])
+        k = min(cfg.efficientdet_max_detection_topk,
+                best.shape[0])
         _, top_i = jax.lax.top_k(best, k)
         scores = scores_all[top_i]                     # [k, C]
         levels = anchor_levels[top_i]                  # [k]
