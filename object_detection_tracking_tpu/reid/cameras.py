@@ -61,3 +61,11 @@ def warp_points(points: np.ndarray, homography: np.ndarray) -> np.ndarray:
     pts = np.concatenate([points, np.ones((1, n))], axis=0)
     w = homography @ pts
     return np.stack([w[0] / w[2], w[1] / w[2]], axis=0)
+
+
+def parse_meva_clip_name(clip_name: str):
+    """'2018-03-11.16-40-08.16-45-08.school.G424' ->
+    (date, end_hour, camera) (ref utils.py:182-185); used to group
+    synchronized MEVA clips when building the camera-config json."""
+    date, _start, end_time, _location, camera = clip_name.split(".")
+    return date, end_time.split("-")[0], camera
