@@ -68,3 +68,19 @@ def test_quality_artifact_in_repo_is_passing():
         pytest.skip("artifact not yet generated this round")
     result = json.load(open(path))
     assert result["passed"] and result["ap50"] >= 0.8
+
+
+def test_pack_mode_smoke(tmp_path):
+    """main.py pack: save params npz + config json + AOT-compile the
+    forward for the packed shape (freeze-.pb equivalent)."""
+    import os
+    from object_detection_tracking_tpu.cli import main as driver
+    driver.main([
+        "pack", "--outbasepath", str(tmp_path), "--modelname", "packed",
+        "--version", "2", "--num_class", "4", "--resnet18",
+        "--short_edge_size", "64", "--max_size", "64",
+        "--compute_dtype", "float32",
+        "--rpn_test_post_nms_topk", "32", "--result_per_im", "8"])
+    out = tmp_path / "packed" / "packed"
+    assert (out / "params.npz").exists()
+    assert (out / "config.json").exists()
