@@ -63,17 +63,28 @@ class Tracker:
             targets, active_targets)
 
     def _match(self, detections):
-        def gated_metric(tracks, dets, track_indices, detection_indices):
-            feats = np.asarray([dets[i].feature for i in detection_indices])
-            targets = [tracks[i].track_id for i in track_indices]
-            cost = self.metric.distance(feats, targets)
-            return linear_assignment.gate_cost_matrix(
-                self.kf, cost, tracks, dets, track_indices,
-                detection_indices)
-
         confirmed = [i for i, t in enumerate(self.tracks) if t.is_confirmed()]
         unconfirmed = [i for i, t in enumerate(self.tracks)
                        if not t.is_confirmed()]
+
+        # The gated appearance cost of a (track, detection) pair does not
+        # depend on which other pairs remain, so compute the FULL
+        # confirmed x detections matrix ONCE and let the cascade levels
+        # slice it — the cascade used to recompute distance+gate per age
+        # level (~18 small metric calls per frame with many live tracks).
+        full_cost = None
+        row_of = {t: r for r, t in enumerate(confirmed)}
+        if confirmed and detections:
+            feats = np.asarray([d.feature for d in detections])
+            targets = [self.tracks[i].track_id for i in confirmed]
+            full_cost = self.metric.distance(feats, targets)
+            full_cost = linear_assignment.gate_cost_matrix(
+                self.kf, full_cost, self.tracks, detections, confirmed,
+                list(range(len(detections))))
+
+        def gated_metric(tracks, dets, track_indices, detection_indices):
+            return full_cost[np.ix_([row_of[t] for t in track_indices],
+                                    detection_indices)]
 
         # 1) appearance cascade over confirmed tracks
         matches_a, unmatched_a, unmatched_dets = \
