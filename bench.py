@@ -160,6 +160,35 @@ def main():
     runs.sort()
     elapsed, processed = runs[len(runs) // 2]
 
+    # The reference's MEVA production config (COMMANDS.md:5-14, the
+    # 0.49-pAUDC system and the .pb it shipped) runs
+    # --rpn_test_post_nms_topk 300; measure it too as a detail (the
+    # headline metric stays on the SPEED.md benchmark config, topk 1000).
+    cfg300 = DetectorConfig.coco_partial(
+        resnet_depth=50, short_edge_size=720, max_size=1280,
+        rpn_test_post_nms_topk=300)
+    model300 = get_model(cfg300, "faster_rcnn")
+    runner300 = DetectionRunner(model300, model300.init_params(
+        jax.random.PRNGKey(0)), depth=2)
+    main_runner = runner
+    runner = runner300
+    run_video(warm_path, track=False)
+    # interleave with fresh main-config passes: the tunnel/backend load
+    # drifts minute-to-minute, so A/B pairs must share conditions
+    runs300, runs1000b = [], []
+    for _ in range(3):
+        t0 = time.time()
+        processed300 = run_video(bench_path, track=True)
+        runs300.append(time.time() - t0)
+        runner = main_runner
+        t0 = time.time()
+        run_video(bench_path, track=True)
+        runs1000b.append(time.time() - t0)
+        runner = runner300
+    x_rt_300 = (processed300 * FRAME_GAP / FPS / sorted(runs300)[1] *
+                # scale to the headline measurement's conditions
+                (sorted(runs1000b)[1] / elapsed))
+
     covered_video_s = processed * FRAME_GAP / FPS
     x_rt = covered_video_s / elapsed
     result = {
@@ -186,6 +215,10 @@ def main():
             # attached deployment would see).
             "tunnel_mb_s": round(tunnel_mbps, 1),
             "x_realtime_device": round(x_rt_device, 2),
+            # reference production config (rpn topk 300, COMMANDS.md:11),
+            # interleaved-A/B vs the headline config and normalized to
+            # the headline measurement's backend conditions
+            "x_realtime_rpn300": round(x_rt_300, 2),
         },
     }
     print(json.dumps(result))
