@@ -240,6 +240,13 @@ class DetectionRunner:
                         self.params, fut.result(), self._dev_carry)
                 else:
                     out = self._fn(self.params, fut.result())
+                # start the D2H copy now so it overlaps the host-side
+                # tracking of earlier batches (np.asarray would otherwise
+                # serialize a ~20 ms tunnel readback into the consume loop)
+                try:
+                    out.copy_to_host_async()
+                except AttributeError:
+                    pass
                 inflight.append((out, meta))
                 if more:
                     more = fill(it)
