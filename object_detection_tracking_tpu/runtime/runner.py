@@ -199,6 +199,18 @@ class DetectionRunner:
         H2D transfers run on a dedicated thread (device_put can block on
         some backends, e.g. the tunneled one) so upload of batch i+1
         overlaps compute of batch i and tracking of batch i-1."""
+        done = False
+        try:
+            yield from self._run(batches)
+            done = True
+        finally:
+            if not done:
+                # abandoned mid-stream: the device carry no longer matches
+                # the host mirror — reset so the next run() re-seeds both
+                self._host_prev = None
+                self._dev_carry = None
+
+    def _run(self, batches):
         from concurrent.futures import ThreadPoolExecutor
 
         inflight: deque = deque()

@@ -184,3 +184,21 @@ def test_runner_ship_full_feat_roundtrip():
     np.testing.assert_allclose(h["pooled_box_feat"][0, 0],
                                np.full(8, grid.mean()), atol=0.05)
     del model.config.fpn_num_channel
+
+
+def test_runner_carry_resets_after_abandoned_stream():
+    """Abandoning run() mid-stream must reset the cross-batch carry so a
+    later run() reconstructs bit-exactly again."""
+    model = FakeModel()
+    rng = np.random.RandomState(5)
+    runner = DetectionRunner(model, {}, temporal_delta=True)
+    ref = DetectionRunner(model, {}, temporal_delta=False)
+    batches = [(rng.randint(0, 256, (2, 8, 8, 3)).astype(np.uint8), i)
+               for i in range(4)]
+    gen = runner.run(iter(batches))
+    next(gen)
+    gen.close()  # abandon with batches still in flight
+    got = [h["final_boxes"] for h, _ in runner.run(iter(batches))]
+    want = [h["final_boxes"] for h, _ in ref.run(iter(batches))]
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
