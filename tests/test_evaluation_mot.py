@@ -81,3 +81,18 @@ def test_class_aware_usage_pattern():
         hyp[t] = [("h1", _box(t, 0)), ("h2", _box(0, 60))]
     m = evaluate_tracks(gt, hyp)
     assert m["idf1"] == 1.0 and m["mota"] == 1.0
+
+
+def test_eval_mot_cli_dir_mode(tmp_path):
+    """eval_mot CLI scores the tracking-dir layout per video/class."""
+    from object_detection_tracking_tpu.cli import eval_mot
+    for root in ("gt", "hyp"):
+        d = tmp_path / root / "vidA" / "Person"
+        d.mkdir(parents=True)
+        rows = [f"{t},1,{5*t},0,10,10,1,-1,-1,-1" for t in range(1, 6)]
+        (d / "vidA.txt").write_text("\n".join(rows))
+    (tmp_path / "videos.lst").write_text("vidA.mp4\n")
+    out = eval_mot.main([str(tmp_path / "gt"), str(tmp_path / "hyp"),
+                         "--videonamelst", str(tmp_path / "videos.lst"),
+                         "--classes", "Person"])
+    assert out["mota"] == 1.0 and out["fn"] == 0 and out["fp"] == 0
