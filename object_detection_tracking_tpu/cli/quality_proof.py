@@ -35,6 +35,10 @@ def get_args(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--init_lr", type=float, default=0.01)
     p.add_argument("--min_ap", type=float, default=0.8)
+    p.add_argument("--add_mask", action="store_true",
+                   help="also train the Mask-RCNN head and gate on mean "
+                   "full-image mask IOU over matched val detections")
+    p.add_argument("--min_mask_iou", type=float, default=0.6)
     p.add_argument("--out_json", default=None,
                    help="default <workdir>/QUALITY.json")
     return p.parse_args(argv)
@@ -79,7 +83,7 @@ def main(argv=None):
         "--clip_gradient_norm", "10",
         "--save_every", str(args.steps),
         "--eval_every", str(10 * args.steps),  # eval once, below
-    ])
+    ] + (["--add_mask"] if args.add_mask else []))
     # R18 for speed; the driver flag surface only exposes 50/101/152, so
     # override the same way a config preset would
     cfg, _ = driver.build(train_args, is_train=True)
@@ -115,15 +119,24 @@ def main(argv=None):
         framepath=None, annopath=None, max_gt=8)
     ap = driver.run_eval(eval_args, eval_cfg, model, params)
 
+    mask_iou = None
+    if args.add_mask:
+        mask_iou = eval_mask_iou(eval_cfg, model, params, val_lst, val_dir)
+        print(f"mean matched mask IOU: {mask_iou:.4f}")
+
     out = {
         "ap50": round(float(ap), 4),
         "min_ap": args.min_ap,
-        "passed": bool(ap >= args.min_ap),
+        "passed": bool(ap >= args.min_ap and
+                       (mask_iou is None or mask_iou >= args.min_mask_iou)),
         "trained_steps": int(step),
         "train_images": args.train_images,
         "val_images": args.val_images,
         "image_size": args.image_size,
-        "model": "R18-FPN FasterRCNN (from scratch, synthetic shapes)",
+        "mask_iou": None if mask_iou is None else round(mask_iou, 4),
+        "min_mask_iou": args.min_mask_iou if args.add_mask else None,
+        "model": ("R18-FPN %s (from scratch, synthetic shapes)"
+                  % ("MaskRCNN" if args.add_mask else "FasterRCNN")),
         "wall_seconds": round(time.time() - t0, 1),
     }
     out_path = args.out_json or os.path.join(args.workdir, "QUALITY.json")
@@ -134,6 +147,66 @@ def main(argv=None):
     if not out["passed"]:
         print(f"FAIL: AP {ap:.4f} < {args.min_ap}", file=sys.stderr)
         sys.exit(1)
+
+
+def eval_mask_iou(eval_cfg, model, params, val_lst, val_dir,
+                  score_thres: float = 0.5, match_iou: float = 0.5):
+    """Mean full-image mask IOU over box-matched val detections.
+
+    Pastes both the predicted 28x28 mask (sigmoid probs, 0.5 threshold
+    inside fill_full_mask) and the gt box-local mask onto the image
+    canvas (utils/masks.fill_full_mask = reference nn.py:1565-1586) and
+    IOUs them — the Mask-RCNN training-quality signal the detection AP
+    cannot see."""
+    import cv2
+    import jax
+    import numpy as np
+
+    from ..runtime import DetectionRunner
+    from ..utils.masks import fill_full_mask
+
+    runner = DetectionRunner(model, params, depth=1)
+    names = [l.strip() for l in open(val_lst) if l.strip()]
+    frames_dir = os.path.join(val_dir, "frames")
+    anno_dir = os.path.join(val_dir, "anno")
+    ious = []
+
+    from ..data.training import _find_image
+
+    def batch_iter():
+        for name in names:
+            im = cv2.imread(_find_image(frames_dir, name))
+            yield im[None], name
+
+    for host, name in runner.run(batch_iter()):
+        anno = dict(np.load(
+            os.path.join(anno_dir, os.path.splitext(name)[0] + ".npz"),
+            allow_pickle=True))
+        gt_boxes = np.asarray(anno["boxes"], np.float32).reshape(-1, 4)
+        gt_masks = np.asarray(anno["masks"], np.float32)
+        hw = cv2.imread(_find_image(frames_dir, name)).shape[:2]
+        valid = host["final_valid"][0] & (host["final_probs"][0]
+                                          >= score_thres)
+        for i in np.flatnonzero(valid):
+            box = host["final_boxes"][0][i]
+            # best-IOU gt
+            x1 = np.maximum(box[0], gt_boxes[:, 0])
+            y1 = np.maximum(box[1], gt_boxes[:, 1])
+            x2 = np.minimum(box[2], gt_boxes[:, 2])
+            y2 = np.minimum(box[3], gt_boxes[:, 3])
+            inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+            area_p = (box[2] - box[0]) * (box[3] - box[1])
+            area_g = (gt_boxes[:, 2] - gt_boxes[:, 0]) *                 (gt_boxes[:, 3] - gt_boxes[:, 1])
+            bious = inter / np.maximum(area_p + area_g - inter, 1e-9)
+            j = int(bious.argmax()) if len(bious) else -1
+            if j < 0 or bious[j] < match_iou:
+                continue
+            pred_full = fill_full_mask(box, host["final_masks"][0][i], hw)
+            gt_full = fill_full_mask(gt_boxes[j], gt_masks[j], hw)
+            u = np.logical_or(pred_full, gt_full).sum()
+            if u:
+                ious.append(np.logical_and(pred_full, gt_full).sum() / u)
+    return float(np.mean(ious)) if ious else 0.0
 
 
 if __name__ == "__main__":
