@@ -84,3 +84,16 @@ def test_pack_mode_smoke(tmp_path):
     out = tmp_path / "packed" / "packed"
     assert (out / "params.npz").exists()
     assert (out / "config.json").exists()
+
+
+def test_tracking_and_mask_artifacts_in_repo_are_passing():
+    root = os.path.join(os.path.dirname(__file__), "..")
+    tq = os.path.join(root, "TRACK_QUALITY_r02.json")
+    if os.path.exists(tq):
+        t = json.load(open(tq))
+        for key in ("deep_sort", "tmot"):
+            assert t[key]["passed"], key
+    mq = os.path.join(root, "QUALITY_MASK_r02.json")
+    if os.path.exists(mq):
+        m = json.load(open(mq))
+        assert m["passed"] and m["mask_iou"] >= 0.6
