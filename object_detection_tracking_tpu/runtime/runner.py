@@ -224,6 +224,13 @@ class DetectionRunner:
                     return False
                 carried = self.cross_batch_delta and images.dtype == np.uint8
                 if carried:
+                    # one runner serves every video in a --video_lst_file;
+                    # a resolution change invalidates the carry (the diff
+                    # below would broadcast-fail) — re-seed from zeros
+                    if (self._host_prev is not None
+                            and images.shape[1:] != self._host_prev.shape):
+                        self._host_prev = None
+                        self._dev_carry = None
                     if self._host_prev is None:
                         self._host_prev = np.zeros(images.shape[1:],
                                                    np.uint8)

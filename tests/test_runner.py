@@ -186,6 +186,25 @@ def test_runner_ship_full_feat_roundtrip():
     del model.config.fpn_num_channel
 
 
+def test_runner_carry_resets_on_resolution_change():
+    """One runner serves every video in a --video_lst_file; a later video
+    with a different resolution must reset the cross-batch carry instead
+    of raising a broadcast error, and still reconstruct bit-exactly."""
+    model = FakeModel()
+    rng = np.random.RandomState(7)
+    runner = DetectionRunner(model, {}, temporal_delta=True)
+    ref = DetectionRunner(model, {}, temporal_delta=False)
+    small = [(rng.randint(0, 256, (2, 8, 8, 3)).astype(np.uint8), i)
+             for i in range(2)]
+    big = [(rng.randint(0, 256, (2, 16, 8, 3)).astype(np.uint8), i)
+           for i in range(2)]
+    for call in (small, big, small):  # shape changes both ways
+        got = [h["final_boxes"] for h, _ in runner.run(iter(call))]
+        want = [h["final_boxes"] for h, _ in ref.run(iter(call))]
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_runner_carry_resets_after_abandoned_stream():
     """Abandoning run() mid-stream must reset the cross-batch carry so a
     later run() reconstructs bit-exactly again."""
