@@ -13,7 +13,7 @@ import os
 
 
 from ..data import open_video
-from ..utils.viz import draw_boxes
+from ..utils.viz import color_for_id, draw_boxes, draw_mask, vis_keypoints
 
 
 def get_args(argv=None):
@@ -24,7 +24,38 @@ def get_args(argv=None):
     p.add_argument("--despath", required=True)
     p.add_argument("--score_thres", type=float, default=0.4)
     p.add_argument("--frame_gap", type=int, default=8)
+    p.add_argument("--show_mask", action="store_true",
+                   help="alpha-blend each detection's RLE 'segmentation' "
+                        "(reference vis_json.py mask overlay)")
+    p.add_argument("--show_keypoints", action="store_true",
+                   help="draw COCO-17 skeletons from each detection's "
+                        "'keypoints' field (x,y,score triplets)")
     return p.parse_args(argv)
+
+
+def draw_dets(frame, dets, show_mask=False, show_keypoints=False):
+    """Overlay one frame's detections: masks first (under the box lines),
+    then keypoint skeletons, then labeled boxes (reference
+    vis_json.py:138-323 ordering). Mask color is stable per category."""
+    if show_mask:
+        from ..utils.masks import rle_decode
+        for d in dets:
+            rle = d.get("segmentation")
+            if rle:
+                frame = draw_mask(frame, rle_decode(rle),
+                                  color=color_for_id(d["category_id"]))
+    if show_keypoints:
+        import numpy as np
+        for d in dets:
+            kps = d.get("keypoints")
+            if kps:
+                frame = vis_keypoints(
+                    frame, np.asarray(kps, float).reshape(-1, 3).T)
+    boxes = [[d["bbox"][0], d["bbox"][1],
+              d["bbox"][0] + d["bbox"][2],
+              d["bbox"][1] + d["bbox"][3]] for d in dets]
+    labels = ["%s_%.2f" % (d["cat_name"], d["score"]) for d in dets]
+    return draw_boxes(frame, boxes, labels)
 
 
 def main(argv=None):
@@ -48,12 +79,8 @@ def main(argv=None):
                 with open(jf) as f:
                     dets = json.load(f)
                 dets = [d for d in dets if d["score"] >= args.score_thres]
-                boxes = [[d["bbox"][0], d["bbox"][1],
-                          d["bbox"][0] + d["bbox"][2],
-                          d["bbox"][1] + d["bbox"][3]] for d in dets]
-                labels = ["%s_%.2f" % (d["cat_name"], d["score"])
-                          for d in dets]
-                frame = draw_boxes(frame, boxes, labels)
+                frame = draw_dets(frame, dets, args.show_mask,
+                                  args.show_keypoints)
                 cv2.imwrite(os.path.join(
                     out_dir, "%s_F_%08d.jpg" % (videoname, idx)), frame)
                 n += 1

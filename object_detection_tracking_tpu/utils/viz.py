@@ -55,6 +55,86 @@ def draw_boxes(im: np.ndarray, boxes: Sequence, labels: Optional[List[str]]
     return im
 
 
+def draw_mask(im: np.ndarray, mask: np.ndarray, color=None,
+              alpha: float = 0.5, show_border: bool = True,
+              border_thick: int = 1) -> np.ndarray:
+    """Alpha-blend a binary full-frame mask onto a BGR image and trace its
+    contour in white (reference viz.py:338-361 draw_mask)."""
+    if color is None:
+        color = PALETTE_BGR[0]
+    on = mask > 0
+    im = im.astype(np.float32, copy=True)
+    im[on] = im[on] * (1.0 - alpha) + np.asarray(color, np.float32) * alpha
+    im = im.astype(np.uint8)
+    if show_border:
+        contours, _ = cv2.findContours(
+            np.ascontiguousarray(mask, np.uint8), cv2.RETR_CCOMP,
+            cv2.CHAIN_APPROX_NONE)
+        cv2.drawContours(im, contours, -1, (255, 255, 255), border_thick,
+                         lineType=cv2.LINE_AA)
+    return im
+
+
+# COCO 17-keypoint order + skeleton (reference viz.py:215-274)
+COCO_KEYPOINTS = [
+    "nose", "left_eye", "right_eye", "left_ear", "right_ear",
+    "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
+    "left_wrist", "right_wrist", "left_hip", "right_hip",
+    "left_knee", "right_knee", "left_ankle", "right_ankle",
+]
+_K = COCO_KEYPOINTS.index
+KP_LINES = [
+    (_K("left_eye"), _K("right_eye")), (_K("left_eye"), _K("nose")),
+    (_K("right_eye"), _K("nose")), (_K("right_eye"), _K("right_ear")),
+    (_K("left_eye"), _K("left_ear")),
+    (_K("right_shoulder"), _K("right_elbow")),
+    (_K("right_elbow"), _K("right_wrist")),
+    (_K("left_shoulder"), _K("left_elbow")),
+    (_K("left_elbow"), _K("left_wrist")),
+    (_K("right_hip"), _K("right_knee")),
+    (_K("right_knee"), _K("right_ankle")),
+    (_K("left_hip"), _K("left_knee")),
+    (_K("left_knee"), _K("left_ankle")),
+    (_K("right_shoulder"), _K("left_shoulder")),
+    (_K("right_hip"), _K("left_hip")),
+]
+
+
+def vis_keypoints(im: np.ndarray, kps: np.ndarray, kp_thresh: float = 2.0,
+                  alpha: float = 0.7) -> np.ndarray:
+    """Draw a COCO-17 skeleton (reference viz.py:276-336 vis_keypoints).
+
+    kps: [3+, 17] rows (x, y, score[, ...]); bones/joints drawn where both
+    endpoint scores exceed kp_thresh, then alpha-blended onto the frame.
+    Adds the mid-shoulder->nose and mid-shoulder->mid-hip spine bones the
+    reference draws first."""
+    kps = np.asarray(kps, np.float32)
+    overlay = im.copy()
+    colors = [color_for_id(i) for i in range(len(KP_LINES) + 2)]
+    mid_sh = (kps[:2, _K("right_shoulder")] + kps[:2, _K("left_shoulder")]) / 2
+    sc_sh = min(kps[2, _K("right_shoulder")], kps[2, _K("left_shoulder")])
+    mid_hip = (kps[:2, _K("right_hip")] + kps[:2, _K("left_hip")]) / 2
+    sc_hip = min(kps[2, _K("right_hip")], kps[2, _K("left_hip")])
+    if sc_sh > kp_thresh and kps[2, _K("nose")] > kp_thresh:
+        cv2.line(overlay, tuple(mid_sh.astype(int)),
+                 tuple(kps[:2, _K("nose")].astype(int)),
+                 colors[len(KP_LINES)], 2, cv2.LINE_AA)
+    if sc_sh > kp_thresh and sc_hip > kp_thresh:
+        cv2.line(overlay, tuple(mid_sh.astype(int)),
+                 tuple(mid_hip.astype(int)),
+                 colors[len(KP_LINES) + 1], 2, cv2.LINE_AA)
+    for li, (i1, i2) in enumerate(KP_LINES):
+        p1 = (int(kps[0, i1]), int(kps[1, i1]))
+        p2 = (int(kps[0, i2]), int(kps[1, i2]))
+        if kps[2, i1] > kp_thresh and kps[2, i2] > kp_thresh:
+            cv2.line(overlay, p1, p2, colors[li], 2, cv2.LINE_AA)
+        if kps[2, i1] > kp_thresh:
+            cv2.circle(overlay, p1, 3, colors[li], -1, cv2.LINE_AA)
+        if kps[2, i2] > kp_thresh:
+            cv2.circle(overlay, p2, 3, colors[li], -1, cv2.LINE_AA)
+    return cv2.addWeighted(im, 1.0 - alpha, overlay, alpha, 0)
+
+
 def draw_tracks(im: np.ndarray, rows: np.ndarray,
                 thickness: int = 2) -> np.ndarray:
     """rows: [N, >=6] (frame, id, x, y, w, h) already filtered to one
