@@ -60,6 +60,8 @@ def get_args(argv=None):
     p.add_argument("--positive_anchor_thres", type=float, default=None)
     p.add_argument("--negative_anchor_thres", type=float, default=None)
     p.add_argument("--rpn_test_post_nms_topk", type=int, default=None)
+    p.add_argument("--rpn_train_pre_nms_topk", type=int, default=None)
+    p.add_argument("--rpn_train_post_nms_topk", type=int, default=None)
     p.add_argument("--fastrcnn_nms_iou_thres", type=float, default=None)
     p.add_argument("--result_score_thres", type=float, default=None)
     p.add_argument("--result_per_im", type=int, default=None)
@@ -99,7 +101,35 @@ def get_args(argv=None):
     p.add_argument("--max_gt", type=int, default=100)
     p.add_argument("--freeze", type=int, default=2)
     p.add_argument("--flip_prob", type=float, default=0.5)
-    return p.parse_args(argv)
+    # activity-box experiments (reference main.py:175-186,535-548): train
+    # the same detector on activity boxes by feeding each frame's
+    # actboxes/actlabels npz keys and the activity taxonomy
+    p.add_argument("--act_as_obj", action="store_true",
+                   help="train/eval on actboxes/actlabels with the "
+                        "targetAct2id taxonomy (ACTIVITY_BOX.md)")
+    p.add_argument("--bupt_exp", action="store_true",
+                   help="bupt activity-box experiment: targetAct2id_bupt "
+                        "taxonomy + bupt_act_mapping renames "
+                        "(implies --act_as_obj)")
+    p.add_argument("--meva_exp", action="store_true",
+                   help="meva activity-box experiment: targetAct2id_meva "
+                        "taxonomy + meva_act_mapping renames "
+                        "(implies --act_as_obj)")
+    args = p.parse_args(argv)
+    if args.bupt_exp or args.meva_exp:
+        args.act_as_obj = True
+    return args
+
+
+def _act_mapping(args):
+    """Classname renames applied before taxonomy lookup (reference
+    main.py:825-833)."""
+    from .. import class_ids
+    if getattr(args, "bupt_exp", False):
+        return class_ids.bupt_act_mapping
+    if getattr(args, "meva_exp", False):
+        return class_ids.meva_act_mapping
+    return None
 
 
 def build(args, is_train: bool):
@@ -122,11 +152,20 @@ def build(args, is_train: bool):
                  "use_small_object_head", "rpn_batch_size",
                  "frcnn_batch_size", "fastrcnn_fg_ratio",
                  "positive_anchor_thres", "negative_anchor_thres",
-                 "rpn_test_post_nms_topk", "fastrcnn_nms_iou_thres",
+                 "rpn_test_post_nms_topk", "rpn_train_pre_nms_topk",
+                 "rpn_train_post_nms_topk", "fastrcnn_nms_iou_thres",
                  "result_score_thres", "result_per_im"):
         v = getattr(args, flag, None)
         if v is not None:
             overrides[remap.get(flag, flag)] = v
+    if getattr(args, "act_as_obj", False):
+        from .. import class_ids
+        table = class_ids.targetAct2id_bupt if args.bupt_exp else (
+            class_ids.targetAct2id_meva if args.meva_exp
+            else class_ids.targetAct2id)
+        cmap = "activity_bupt" if args.bupt_exp else (
+            "activity_meva" if args.meva_exp else "activity")
+        overrides.update(class_map=cmap, num_class=len(table))
     cfg = DetectorConfig.from_version(args.version, **overrides)
     return cfg, get_model(cfg)
 
@@ -200,7 +239,9 @@ def run_eval(args, cfg, model, params, cache=None) -> float:
         args.vallst, args.valframepath or args.framepath,
         args.valannopath or args.annopath, cfg.classname2id,
         cfg.short_edge_size, cfg.max_size, batch_size=n_dev,
-        max_gt=args.max_gt, shuffle=False, flip_prob=0.0)
+        max_gt=args.max_gt, shuffle=False, flip_prob=0.0,
+        act_as_obj=getattr(args, "act_as_obj", False),
+        act_mapping=_act_mapping(args))
     val_skip = getattr(args, "val_skip", 1)
     if val_skip > 1:
         ds.samples = ds.samples[::val_skip]
@@ -276,7 +317,8 @@ def mode_train(args):
         use_mixup=args.use_mixup, with_masks=cfg.add_mask,
         short_edge_jitter=((args.short_edge_size_min,
                             args.short_edge_size_max)
-                           if args.scale_jitter else None))
+                           if args.scale_jitter else None),
+        act_as_obj=args.act_as_obj, act_mapping=_act_mapping(args))
     if args.train_skip > 1:
         ds.samples = ds.samples[::args.train_skip]
         ds.num_samples = len(ds.samples)

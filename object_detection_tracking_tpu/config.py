@@ -172,6 +172,10 @@ class DetectorConfig:
             base = dict(class_ids.targetClass2id_mergeProp)
         elif self.class_map == "activity":
             base = dict(class_ids.targetAct2id)
+        elif self.class_map == "activity_bupt":
+            base = dict(class_ids.targetAct2id_bupt)
+        elif self.class_map == "activity_meva":
+            base = dict(class_ids.targetAct2id_meva)
         else:
             raise ValueError(f"unknown class_map {self.class_map!r}")
         if self.partial_classes:

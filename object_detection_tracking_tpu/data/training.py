@@ -47,7 +47,8 @@ class DetectionTrainDataset:
                  shuffle: bool = True, seed: int = 0,
                  flip_prob: float = 0.5, use_mixup: bool = False,
                  with_masks: bool = False, mask_size: int = 28,
-                 short_edge_jitter=None):
+                 short_edge_jitter=None, act_as_obj: bool = False,
+                 act_mapping: Optional[Dict[str, str]] = None):
         with open(lst_file) as f:
             names = [l.strip() for l in f if l.strip()]
         self.samples = []
@@ -78,6 +79,13 @@ class DetectionTrainDataset:
         # CocoTrainDataset subclass)
         self.with_masks = with_masks
         self.mask_size = mask_size
+        # activity-box training (reference main.py:535-548): feed the
+        # frame's activity boxes/labels as the object annotations, so the
+        # same detector trains on the activity taxonomy (ACTIVITY_BOX.md).
+        # act_mapping optionally renames annotation classnames into the
+        # target taxonomy first (bupt_act_mapping, main.py:825-833).
+        self.act_as_obj = act_as_obj
+        self.act_mapping = act_mapping or {}
         self.rng = random.Random(seed)
         self.num_samples = len(self.samples)
 
@@ -93,14 +101,17 @@ class DetectionTrainDataset:
             im = cv2.resize(im, (neww, newh), interpolation=cv2.INTER_LINEAR)
         sx, sy = neww / w, newh / h
         anno = dict(np.load(anno_path, allow_pickle=True))
-        boxes = np.asarray(anno["boxes"], np.float32).reshape(-1, 4)
+        box_key, lab_key = ("actboxes", "actlabels") if self.act_as_obj \
+            else ("boxes", "labels")
+        boxes = np.asarray(anno[box_key], np.float32).reshape(-1, 4)
         boxes[:, 0::2] *= sx
         boxes[:, 1::2] *= sy
         labels = []
-        for lab in anno["labels"]:
+        for lab in anno[lab_key]:
             if isinstance(lab, bytes):
                 lab = lab.decode()
             if isinstance(lab, str):
+                lab = self.act_mapping.get(lab, lab)
                 labels.append(self.classname2id.get(lab, -1))
             else:
                 labels.append(int(lab))

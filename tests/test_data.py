@@ -256,3 +256,78 @@ def test_scale_jitter_grow_only_canvas(tmp_path):
     h = max(s[1] for s in shapes)
     assert 32 <= h <= 64
     assert all(m <= h + 1e-3 for m in box_maxes)  # boxes rescaled with im
+
+
+def test_training_dataset_act_as_obj(tmp_path):
+    """act_as_obj feeds actboxes/actlabels as the object annotations
+    (reference main.py:535-548), with optional bupt-style classname
+    renames (main.py:825-833)."""
+    from object_detection_tracking_tpu.data.training import (
+        DetectionTrainDataset)
+    name = "v_F_00000000"
+    cv2.imwrite(str(tmp_path / f"{name}.jpg"),
+                np.full((40, 60, 3), 90, np.uint8))
+    np.savez(str(tmp_path / f"{name}.npz"),
+             boxes=np.array([[5, 5, 25, 25]], np.float32),
+             labels=np.array(["Person"]),
+             actboxes=np.array([[2, 2, 30, 30], [10, 10, 40, 38]],
+                               np.float32),
+             actlabels=np.array(["activity_walking", "person_opens_door"]))
+    lst = tmp_path / "t.lst"
+    lst.write_text(name + ".jpg\n")
+    taxonomy = {"BG": 0, "activity_walking": 1, "Opening": 2}
+    common = dict(short_edge_size=40, max_size=60, batch_size=1, max_gt=8,
+                  shuffle=False, flip_prob=0.0)
+    # without the flag: the plain object annotation is used
+    ds = DetectionTrainDataset(str(lst), str(tmp_path), str(tmp_path),
+                               {"BG": 0, "Person": 1}, **common)
+    _, boxes, labels, valid = next(ds.batches())
+    assert valid.sum() == 1 and labels[0, 0] == 1
+    np.testing.assert_allclose(boxes[0, 0], [5, 5, 25, 25])
+    # with act_as_obj + a rename map: both activity boxes load
+    ds = DetectionTrainDataset(
+        str(lst), str(tmp_path), str(tmp_path), taxonomy,
+        act_as_obj=True, act_mapping={"person_opens_door": "Opening"},
+        **common)
+    _, boxes, labels, valid = next(ds.batches())
+    assert valid.sum() == 2
+    assert sorted(labels[0, :2].tolist()) == [1, 2]
+    np.testing.assert_allclose(boxes[0, 0], [2, 2, 30, 30])
+
+
+def test_main_cli_act_as_obj_train_smoke(tmp_path):
+    """mode_train with --act_as_obj: taxonomy swap + actbox feed run a
+    real (tiny) train step end-to-end."""
+    from object_detection_tracking_tpu.cli import main as main_cli
+    rng = np.random.RandomState(0)
+    names = []
+    for i in range(8):
+        name = "v_F_%08d" % i
+        cv2.imwrite(str(tmp_path / f"{name}.jpg"),
+                    rng.randint(0, 255, (48, 64, 3)).astype(np.uint8))
+        np.savez(str(tmp_path / f"{name}.npz"),
+                 boxes=np.zeros((0, 4), np.float32), labels=np.array([]),
+                 actboxes=np.array([[4, 4, 28, 30], [30, 10, 60, 40]],
+                                   np.float32),
+                 actlabels=np.array(["activity_walking",
+                                     "vehicle_moving"]))
+        names.append(name + ".jpg")
+    (tmp_path / "t.lst").write_text("\n".join(names))
+    args = main_cli.get_args([
+        "train", "--trainlst", str(tmp_path / "t.lst"),
+        "--framepath", str(tmp_path), "--annopath", str(tmp_path),
+        "--vallst", str(tmp_path / "t.lst"),
+        "--outbasepath", str(tmp_path / "runs"),
+        "--act_as_obj", "--resnet18", "--short_edge_size", "48",
+        "--max_size", "64", "--num_epochs", "1", "--num_step", "2",
+        "--im_batch_size", "8", "--max_gt", "8", "--warmup_steps", "0",
+        "--compute_dtype", "float32", "--save_every", "1000000",
+        "--eval_every", "1000000", "--skip_first_eval",
+        "--rpn_test_post_nms_topk", "16", "--result_per_im", "5",
+        "--rpn_train_pre_nms_topk", "64",
+        "--rpn_train_post_nms_topk", "64"])
+    from object_detection_tracking_tpu.class_ids import targetAct2id
+    cfg, _ = main_cli.build(args, is_train=True)
+    assert cfg.num_class == len(targetAct2id)
+    assert cfg.classname2id["activity_walking"] == 1
+    main_cli.mode_train(args)  # must not raise
