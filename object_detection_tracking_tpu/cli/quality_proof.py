@@ -23,6 +23,7 @@ import json
 import os
 import sys
 import time
+from ..utils.source_hash import quality_tree_hash
 
 
 def get_args(argv=None):
@@ -138,6 +139,9 @@ def main(argv=None):
         "model": ("R18-FPN %s (from scratch, synthetic shapes)"
                   % ("MaskRCNN" if args.add_mask else "FasterRCNN")),
         "wall_seconds": round(time.time() - t0, 1),
+        # stale-artifact guard: tests fail when the measured source
+        # trees change without a re-run (utils/source_hash.py)
+        "tree_hash": quality_tree_hash(),
     }
     out_path = args.out_json or os.path.join(args.workdir, "QUALITY.json")
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)

@@ -58,16 +58,43 @@ def test_quality_proof_reaches_min_ap(tmp_path):
     assert result["passed"] and result["ap50"] >= 0.8
 
 
+def _latest_artifact(root, prefix):
+    """Newest committed round artifact for a prefix (e.g. QUALITY_r03)."""
+    import re
+    best = None
+    for name in os.listdir(root):
+        m = re.fullmatch(prefix + r"_r(\d+)\.json", name)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), os.path.join(root, name))
+    return best[1] if best else None
+
+
+def _check_fresh(result, path):
+    """Drift guard (VERDICT r2 weak #8): artifacts record the source-tree
+    hash they were produced at; if the measured trees moved since, the
+    artifact is stale and must be re-run (RUN_QUALITY=1)."""
+    from object_detection_tracking_tpu.utils.source_hash import (
+        quality_tree_hash)
+    recorded = result.get("tree_hash")
+    if recorded is None:
+        return  # pre-guard artifact (<= r02); next regeneration adds it
+    current = quality_tree_hash()
+    assert recorded == current, (
+        f"{os.path.basename(path)} is STALE: produced at source tree "
+        f"{recorded}, tree is now {current}. Re-run the proof "
+        f"(RUN_QUALITY=1 or the cli) to refresh the artifact.")
+
+
 def test_quality_artifact_in_repo_is_passing():
-    """The committed artifact must exist and record a passing run — this
-    keeps the quality claim visible to the driver and fails if someone
-    commits a regressed artifact."""
+    """The committed artifact must exist, record a passing run, and match
+    the current source tree (drift guard)."""
     root = os.path.join(os.path.dirname(__file__), "..")
-    path = os.path.join(root, "QUALITY_r02.json")
-    if not os.path.exists(path):
+    path = _latest_artifact(root, "QUALITY")
+    if path is None:
         pytest.skip("artifact not yet generated this round")
     result = json.load(open(path))
     assert result["passed"] and result["ap50"] >= 0.8
+    _check_fresh(result, path)
 
 
 def test_pack_mode_smoke(tmp_path):
@@ -88,12 +115,14 @@ def test_pack_mode_smoke(tmp_path):
 
 def test_tracking_and_mask_artifacts_in_repo_are_passing():
     root = os.path.join(os.path.dirname(__file__), "..")
-    tq = os.path.join(root, "TRACK_QUALITY_r02.json")
-    if os.path.exists(tq):
+    tq = _latest_artifact(root, "TRACK_QUALITY")
+    if tq:
         t = json.load(open(tq))
         for key in ("deep_sort", "tmot"):
             assert t[key]["passed"], key
-    mq = os.path.join(root, "QUALITY_MASK_r02.json")
-    if os.path.exists(mq):
+            _check_fresh(t[key], tq)
+    mq = _latest_artifact(root, "QUALITY_MASK")
+    if mq:
         m = json.load(open(mq))
         assert m["passed"] and m["mask_iou"] >= 0.6
+        _check_fresh(m, mq)
