@@ -119,8 +119,13 @@ class DetectorConfig:
     # "pallas": window-DMA kernel, ~4x faster, exact for aspect <= ~2.8
     # (ops/pallas/roi_align_pallas.py); "xla": exact reference gather
     roi_align_impl: str = "pallas"
+    # which model family get_model builds by default
+    model: str = "faster_rcnn"
     # EfficientDet variant when model="efficientdet"
     efficientdet_name: str = "efficientdet-d0"
+    # override the variant's square input size (0 = per-name default;
+    # used by the synthetic quality gate to train d0 at small sizes)
+    efficientdet_image_size: int = 0
     # global pre-NMS candidate cap (ref --efficientdet_max_detection_topk,
     # efficientdet_wrapper.py:242; reference commands use 5000)
     efficientdet_max_detection_topk: int = 5000

@@ -8,7 +8,9 @@ shapes. The factory mirrors the reference ``get_model`` (models.py:97-132).
 from .faster_rcnn import FasterRCNNFPN  # noqa: F401
 
 
-def get_model(config, model_name: str = "faster_rcnn"):
+def get_model(config, model_name: str = None):
+    if model_name is None:
+        model_name = getattr(config, "model", "faster_rcnn")
     if model_name in ("faster_rcnn", "mask_rcnn"):
         return FasterRCNNFPN(config)
     if model_name == "efficientdet":

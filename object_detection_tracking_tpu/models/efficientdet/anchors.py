@@ -63,3 +63,20 @@ def decode_effdet_boxes(deltas: jnp.ndarray,
     w = jnp.exp(tw) * aw
     return jnp.stack([cx - w / 2.0, cy - h / 2.0,
                       cx + w / 2.0, cy + h / 2.0], axis=-1)
+
+
+def encode_effdet_boxes(boxes: jnp.ndarray,
+                        anchors: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of decode_effdet_boxes: gt x1y1x2y2 -> (ty, tx, th, tw)
+    against the anchors (FasterRcnnBoxCoder with EffDet's y-first order,
+    reference efficientdet/object_detection/faster_rcnn_box_coder.py)."""
+    acx = (anchors[..., 0] + anchors[..., 2]) / 2.0
+    acy = (anchors[..., 1] + anchors[..., 3]) / 2.0
+    aw = anchors[..., 2] - anchors[..., 0]
+    ah = anchors[..., 3] - anchors[..., 1]
+    cx = (boxes[..., 0] + boxes[..., 2]) / 2.0
+    cy = (boxes[..., 1] + boxes[..., 3]) / 2.0
+    w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 1e-6)
+    h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 1e-6)
+    return jnp.stack([(cy - acy) / ah, (cx - acx) / aw,
+                      jnp.log(h / ah), jnp.log(w / aw)], axis=-1)

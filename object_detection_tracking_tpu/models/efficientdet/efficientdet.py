@@ -83,6 +83,8 @@ class EfficientDet:
         (self.backbone_name, self.image_size, self.fpn_filters,
          self.fpn_repeats, self.head_repeats, self.fusion,
          self.anchor_scale) = EFFICIENTDET_CONFIGS[name]
+        if getattr(config, "efficientdet_image_size", 0):
+            self.image_size = config.efficientdet_image_size
         self.name = name
         self.num_classes = config.num_class - 1  # sigmoid heads, no BG row
         # partial-class inference: gather only the tracked classes' score
@@ -295,8 +297,11 @@ class EfficientDet:
 
     # ------------------------------------------------------------------
 
-    def forward(self, params, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        cfg = self.config
+    def _features_and_flat_heads(self, params, images):
+        """Shared trunk for forward/forward_train: preprocess -> backbone ->
+        BiFPN -> heads, with per-anchor flattening and the flat anchor set.
+        Returns (feats P3..P7, cls_flat [B,N,C] logits, box_flat [B,N,4],
+        anchors_flat [N,4], anchor_levels [N], (h, w), b)."""
         b = images.shape[0]
         h = images.shape[1] * 2 // 3 if images.ndim == 3 else images.shape[1]
         w = images.shape[-1] if images.ndim == 3 else images.shape[2]
@@ -315,8 +320,6 @@ class EfficientDet:
             feats = self._bifpn_cell(params["fpn_cells"][f"cell_{rep}"],
                                      feats)
         cls_outs, box_outs = self._heads(params, feats)
-        feats, cls_outs, box_outs = jax.lax.optimization_barrier(
-            (feats, cls_outs, box_outs))
 
         anchors = effdet_anchors((self.image_size, self.image_size),
                                  anchor_scale=self.anchor_scale)
@@ -332,6 +335,15 @@ class EfficientDet:
         box_flat = jnp.concatenate(
             [bo.reshape(b, -1, 4).astype(jnp.float32) for bo in box_outs],
             axis=1)
+        return feats, cls_flat, box_flat, anchors_flat, anchor_levels, \
+            (h, w), b
+
+    def forward(self, params, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        (feats, cls_flat, box_flat, anchors_flat, anchor_levels,
+         (h, w), b) = self._features_and_flat_heads(params, images)
+        feats, cls_flat, box_flat = jax.lax.optimization_barrier(
+            (feats, cls_flat, box_flat))
 
         fb, fl, fp, fv, flv = jax.vmap(
             lambda cf, bf: self._postprocess_single(
@@ -364,3 +376,44 @@ class EfficientDet:
 
     def make_infer_fn(self):
         return jax.jit(self.forward)
+
+    # ------------------------------------------------------------------
+
+    def forward_train(self, params, images, gt_boxes, gt_labels, gt_valid,
+                      rng, gt_masks=None) -> Dict[str, jnp.ndarray]:
+        """Training losses (the reference vendors only inference; losses
+        follow the published automl recipe the reference's checkpoints
+        were trained with — hparams_config.py:207-211: focal alpha 0.25 /
+        gamma 1.5, huber delta 0.1, box_loss_weight 50 — with the
+        AnchorLabeler semantics of efficientdet/anchors.py:540).
+
+        Same signature as FasterRCNNFPN.forward_train so Trainer and the
+        sharded train step drive either detector unchanged."""
+        del rng, gt_masks  # anchor labeling is deterministic (no sampling)
+        from ...train.losses import focal_loss, huber
+        from ...train.targets import effdet_anchor_targets
+
+        (_, cls_flat, box_flat, anchors_flat, _,
+         _, b) = self._features_and_flat_heads(params, images)
+
+        cls_t, box_t, fg = jax.vmap(
+            lambda gb, gl, gv: effdet_anchor_targets(
+                anchors_flat, gb, gl, gv))(gt_boxes, gt_labels, gt_valid)
+
+        # one-hot WITHOUT a background column (sigmoid heads): label 0
+        # (bg) maps to the all-zeros row via the label-1 shift
+        onehot = jax.nn.one_hot(cls_t - 1, self.num_classes,
+                                dtype=jnp.float32)            # [B, N, C]
+        num_pos = jnp.maximum(fg.sum().astype(jnp.float32), 1.0)
+        cls_loss = focal_loss(cls_flat, onehot, alpha=0.25,
+                              gamma=1.5).sum() / num_pos
+        box_err = huber(box_flat - box_t, delta=0.1)
+        box_loss = jnp.where(fg[..., None], box_err, 0.0).sum() \
+            / (num_pos * 4.0)
+        total = cls_loss + 50.0 * box_loss
+        return {
+            "total_loss": total,
+            "effdet_cls_loss": cls_loss,
+            "effdet_box_loss": box_loss,
+            "num_pos_anchors": num_pos / b,
+        }

@@ -149,3 +149,38 @@ def sample_fastrcnn_targets(rng, proposals: jnp.ndarray,
         # (fg rows are packed first: rows [0, batch*fg_ratio) are fg slots)
         "fg_gt_idx": jnp.where(sel_fg, sel_gt, 0).astype(jnp.int32),
     }
+
+
+def effdet_anchor_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
+                          gt_labels: jnp.ndarray, gt_valid: jnp.ndarray,
+                          match_threshold: float = 0.5):
+    """EfficientDet AnchorLabeler (reference efficientdet/anchors.py:540:
+    ArgMax matcher with match == unmatched threshold, so there is no
+    ignore band, plus force_match_for_each_row: every valid gt claims its
+    best anchor even below threshold).
+
+    anchors [N, 4] x1y1x2y2 (static), gt_* padded with gt_valid [G].
+    Returns (cls_targets [N] int32 — 0 = background, else the gt label;
+    box_targets [N, 4] (ty, tx, th, tw); fg [N] bool)."""
+    from ..models.efficientdet.anchors import encode_effdet_boxes
+
+    iou = pairwise_iou(anchors, gt_boxes)                # [N, G]
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    iou_max = iou.max(axis=1)
+    iou_argmax = iou.argmax(axis=1)
+
+    # force match: gt g's best anchor becomes positive for g, overriding
+    # that anchor's argmax assignment (ArgMaxMatcher force_match rows)
+    best_anchor_per_gt = iou.argmax(axis=0)              # [G]
+    n = anchors.shape[0]
+    forced_gt = jnp.full((n,), -1, jnp.int32)
+    forced_gt = forced_gt.at[best_anchor_per_gt].set(
+        jnp.where(gt_valid, jnp.arange(gt_boxes.shape[0], dtype=jnp.int32),
+                  -1))
+    matched_gt = jnp.where(forced_gt >= 0, forced_gt, iou_argmax)
+    fg = (forced_gt >= 0) | (iou_max >= match_threshold)
+
+    cls_targets = jnp.where(fg, gt_labels[matched_gt], 0).astype(jnp.int32)
+    box_targets = jnp.where(
+        fg[:, None], encode_effdet_boxes(gt_boxes[matched_gt], anchors), 0.0)
+    return cls_targets, box_targets, fg

@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import pytest
 
 from object_detection_tracking_tpu.config import DetectorConfig
+from object_detection_tracking_tpu.models import get_model
 from object_detection_tracking_tpu.models.efficientdet import (
     EfficientDet, decode_effdet_boxes, effdet_anchors)
 from object_detection_tracking_tpu.models.efficientdet.efficientnet import (
@@ -140,3 +141,78 @@ def test_d6_d7_use_sum_fusion_and_d7_anchor_scale():
     # reference's bifpn_sum graphs)
     p = d6.init_params(jax.random.PRNGKey(0))
     assert "wsm" not in p["fpn_cells"]["cell_0"]["fnode0"]
+
+
+def test_effdet_encode_decode_roundtrip():
+    from object_detection_tracking_tpu.models.efficientdet.anchors import (
+        decode_effdet_boxes, encode_effdet_boxes)
+    rng = np.random.RandomState(0)
+    anchors = np.stack([
+        rng.uniform(0, 50, 20), rng.uniform(0, 50, 20),
+        rng.uniform(60, 120, 20), rng.uniform(60, 120, 20)], axis=1)
+    boxes = np.stack([
+        rng.uniform(0, 40, 20), rng.uniform(0, 40, 20),
+        rng.uniform(50, 110, 20), rng.uniform(50, 110, 20)], axis=1)
+    dec = decode_effdet_boxes(
+        encode_effdet_boxes(jnp.asarray(boxes), jnp.asarray(anchors)),
+        jnp.asarray(anchors))
+    np.testing.assert_allclose(np.asarray(dec), boxes, atol=1e-3)
+
+
+def test_effdet_anchor_targets_rules():
+    """AnchorLabeler semantics (ref efficientdet/anchors.py:540): positive
+    at IOU>=0.5, no ignore band, and force-match gives every valid gt its
+    best anchor even below threshold."""
+    from object_detection_tracking_tpu.train.targets import (
+        effdet_anchor_targets)
+    anchors = jnp.asarray(np.array([
+        [0, 0, 10, 10],       # IOU 1.0 with gt0 -> fg
+        [100, 100, 110, 110],  # best anchor for gt1 (low IOU) -> forced fg
+        [200, 200, 210, 210],  # no overlap -> bg
+    ], np.float32))
+    gt = jnp.asarray(np.array([[0, 0, 10, 10], [100, 100, 140, 160],
+                               [0, 0, 0, 0]], np.float32))
+    gl = jnp.asarray(np.array([2, 3, 1], np.int32))
+    gv = jnp.asarray([True, True, False])
+    cls_t, box_t, fg = effdet_anchor_targets(anchors, gt, gl, gv)
+    assert np.asarray(fg).tolist() == [True, True, False]
+    assert np.asarray(cls_t).tolist() == [2, 3, 0]
+    # exact-match anchor encodes to zero deltas
+    np.testing.assert_allclose(np.asarray(box_t)[0], 0.0, atol=1e-5)
+    # padded gt row never matches
+    assert np.asarray(cls_t)[2] == 0
+
+
+def test_effdet_train_step_converges():
+    """forward_train through the shared Trainer on the tiny variant: the
+    loss must drop hard on a fixed two-image batch (proves focal+huber
+    wiring and gradients flow through BiFPN/heads)."""
+    from object_detection_tracking_tpu.train import Trainer
+    from object_detection_tracking_tpu.config import TrainConfig
+    cfg = DetectorConfig(
+        model="efficientdet", efficientdet_name="efficientdet-test",
+        num_class=4, compute_dtype="float32", result_per_im=8,
+        is_train=True)
+    model = get_model(cfg)
+    assert type(model).__name__ == "EfficientDet"  # factory routes by cfg
+    params = model.init_params(jax.random.PRNGKey(0))
+    tr = Trainer(model, TrainConfig(
+        optimizer="adam", init_lr=3e-3, warmup_steps=0, total_steps=100,
+        lr_schedule="constant", wd=0.0, clip_gradient_norm=10.0))
+    state = tr.init_state(params)
+    step = tr.step_fn()
+    imgs = np.zeros((2, 128, 128, 3), np.uint8)
+    imgs[0, 20:60, 30:80] = 255
+    imgs[1, 60:110, 10:50] = 180
+    gtb = np.asarray([[[30, 20, 80, 60], [0, 0, 0, 0]],
+                      [[10, 60, 50, 110], [0, 0, 0, 0]]], np.float32)
+    gtl = np.asarray([[1, 0], [2, 0]], np.int32)
+    gtv = np.asarray([[True, False], [True, False]])
+    totals = []
+    for i in range(25):
+        state, losses = step(state, imgs, gtb, gtl, gtv,
+                             jax.random.PRNGKey(i))
+        t = float(losses["total_loss"])
+        assert np.isfinite(t)
+        totals.append(t)
+    assert np.mean(totals[-3:]) < 0.5 * totals[0], totals
