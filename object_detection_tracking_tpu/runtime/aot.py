@@ -35,3 +35,50 @@ def aot_compile(fn: Callable, *example_args: Any):
     compiled executable (callable). Use ``.serialize()`` /
     ``jax.export`` for shipping across processes."""
     return jax.jit(fn).lower(*example_args).compile()
+
+
+def export_serialized(fn: Callable, *example_args: Any) -> bytes:
+    """Serialize ``fn`` (StableHLO via jax.export) for the example shapes —
+    the portable artifact the reference's frozen .pb provided
+    (models.py:134-191): another process loads and runs it without
+    retracing any Python model code."""
+    from jax import export as jexport
+    specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jax.numpy.shape(x),
+                                       jax.numpy.result_type(x)),
+        example_args)
+    return jexport.export(jax.jit(fn))(*specs).serialize()
+
+
+def load_exported(blob: bytes) -> Callable:
+    """Deserialize an ``export_serialized`` artifact into a callable.
+    The call jit-compiles the embedded StableHLO for the local backend
+    (hitting the persistent compile cache when warm) — no model Python
+    needed."""
+    from jax import export as jexport
+    exp = jexport.deserialize(blob)
+    return jax.jit(exp.call)
+
+
+def load_packed(pack_dir: str):
+    """Load a ``cli.main pack`` directory: (config, params, forward_fn).
+    ``forward_fn(params, images)`` runs the exported graph; the packed
+    batch shape is fixed (static shapes)."""
+    import json
+
+    import numpy as np
+
+    from ..config import DetectorConfig
+
+    with open(os.path.join(pack_dir, "config.json")) as f:
+        raw = json.load(f)
+    field_names = {f.name for f in
+                   __import__("dataclasses").fields(DetectorConfig)}
+    raw = {k: (tuple(v) if isinstance(v, list) else v)
+           for k, v in raw.items() if k in field_names}
+    cfg = DetectorConfig(**raw)
+    from ..utils.weights import load_npz_tree
+    params = load_npz_tree(os.path.join(pack_dir, "params.npz"))
+    with open(os.path.join(pack_dir, "forward.jaxexport"), "rb") as f:
+        fn = load_exported(f.read())
+    return cfg, params, fn

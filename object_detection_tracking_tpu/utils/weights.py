@@ -139,6 +139,21 @@ def save_npz(path: str, params: Dict):
     np.savez(path, **flat)
 
 
+def load_npz_tree(path: str) -> Dict:
+    """Rebuild the nested param dict from a flat slash-named npz WITHOUT
+    model code — the load side of a packed artifact (runtime.aot
+    load_packed), mirroring how the reference loads a frozen .pb with no
+    model class (models.py:134-191)."""
+    out: Dict = {}
+    for name, value in np.load(path).items():
+        node = out
+        parts = name.split("/")
+        for k in parts[:-1]:
+            node = node.setdefault(k, {})
+        node[parts[-1]] = jax.numpy.asarray(value)
+    return out
+
+
 def load_npz(path: str, model, ignore_vars: str = None) -> Dict:
     """Load our native flat slash-named npz."""
     import jax.random

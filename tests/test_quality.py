@@ -111,6 +111,20 @@ def test_pack_mode_smoke(tmp_path):
     out = tmp_path / "packed" / "packed"
     assert (out / "params.npz").exists()
     assert (out / "config.json").exists()
+    # the portable artifact loads WITHOUT model Python and matches the
+    # live forward (frozen-.pb equivalent, runtime.aot.load_packed)
+    import numpy as np
+    from object_detection_tracking_tpu.models import get_model
+    from object_detection_tracking_tpu.runtime.aot import load_packed
+    cfg, params, fn = load_packed(str(out))
+    img = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3),
+                                           np.uint8)
+    got = fn(params, img)
+    ref = get_model(cfg).forward(params, img)
+    np.testing.assert_allclose(np.asarray(got["final_boxes"]),
+                               np.asarray(ref["final_boxes"]), atol=5e-3)
+    np.testing.assert_array_equal(np.asarray(got["final_labels"]),
+                                  np.asarray(ref["final_labels"]))
 
 
 def test_tracking_and_mask_artifacts_in_repo_are_passing():
