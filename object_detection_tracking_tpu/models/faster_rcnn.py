@@ -182,16 +182,34 @@ class FasterRCNNFPN:
         # matches the reference BGR path bit-for-bit (within 1 LSB)
         return jnp.round(jnp.clip(bgr, 0.0, 255.0))
 
-    def preprocess(self, images: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
+    def preprocess(self, images: jnp.ndarray, hp: int, wp: int,
+                   s2d: bool = False) -> jnp.ndarray:
         """[B, h, w, 3] BGR uint8/float (or [B, 3h/2, w] planar I420) ->
         padded normalized [B, hp, wp, 3] in compute dtype
-        (models.py:322-357 + backbone pad-to-multiple)."""
+        (models.py:322-357 + backbone pad-to-multiple).
+
+        s2d=True emits the 2x2 space-to-depth layout [B, hp/2, wp/2, 12]
+        the stem conv consumes directly: the relayout happens on the raw
+        (uint8) pixels BEFORE the f32 normalize, which XLA then fuses —
+        profiling showed the post-normalize bf16 relayout cost 3.0 ms of
+        pure layout copies per 8x736x1280 batch. Bit-identical values
+        (transpose commutes with the elementwise normalize; zero padding
+        unchanged). Falls back to the flat layout on odd extents."""
         cfg = self.config
         if images.ndim == 3:
             images = self.i420_to_bgr(images)
+        h, w = images.shape[1:3]
+        if s2d and h % 2 == 0 and w % 2 == 0 and images.shape[-1] == 3:
+            b = images.shape[0]
+            x = images.reshape(b, h // 2, 2, w // 2, 2, 3)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 12)
+            x = x.astype(jnp.float32) * (1.0 / 255.0)
+            x = (x - jnp.tile(_BGR_MEAN, 4)) / jnp.tile(_BGR_STD, 4)
+            x = jnp.pad(x, ((0, 0), (0, (hp - h) // 2),
+                            (0, (wp - w) // 2), (0, 0)))
+            return x.astype(jnp.dtype(cfg.compute_dtype))
         x = images.astype(jnp.float32) * (1.0 / 255.0)
         x = (x - _BGR_MEAN) / _BGR_STD
-        h, w = x.shape[1:3]
         x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
         return x.astype(jnp.dtype(cfg.compute_dtype))
 
@@ -461,7 +479,7 @@ class FasterRCNNFPN:
         h = images.shape[1] * 2 // 3 if images.ndim == 3 else images.shape[1]
         hp, wp, fields, valids = self._static_geometry(h, w)
 
-        p_images = self.preprocess(images, hp, wp)
+        p_images = self.preprocess(images, hp, wp, s2d=True)
         p23456 = self.backbone(params, p_images)
         label_logits, box_logits = self._rpn_all_levels(params, p23456)
 
@@ -551,7 +569,7 @@ class FasterRCNNFPN:
         activity-recognition pipelines)."""
         b, h, w = images.shape[0], images.shape[1], images.shape[2]
         hp, wp, _, _ = self._static_geometry(h, w)
-        p_images = self.preprocess(images, hp, wp)
+        p_images = self.preprocess(images, hp, wp, s2d=True)
         p23456 = self.backbone(params, p_images)
         feats = self._roi_align_batched(p23456, boxes, 7)
         return feats.mean(axis=(2, 3))
@@ -579,7 +597,7 @@ class FasterRCNNFPN:
         b, h, w = images.shape[0], images.shape[1], images.shape[2]
         hp, wp, fields, valids = self._static_geometry(h, w)
 
-        p_images = self.preprocess(images, hp, wp)
+        p_images = self.preprocess(images, hp, wp, s2d=True)
         p23456 = self.backbone(params, p_images)
         label_logits, box_logits = self._rpn_all_levels(params, p23456)
         p23456, label_logits, box_logits = jax.lax.optimization_barrier(

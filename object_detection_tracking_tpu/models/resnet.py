@@ -197,10 +197,15 @@ def _stem_conv_s2d(params, image: jnp.ndarray) -> jnp.ndarray:
     bit-exactly against the direct conv; falls back to direct for odd
     extents / non-3-channel inputs."""
     b, h, w, c = image.shape
-    if h % 2 or w % 2 or c != 3:
+    if c == 12:
+        # preprocess already emitted the s2d layout (zero relayout cost)
+        x = image
+    elif h % 2 or w % 2 or c != 3:
         return conv2d(params, image, stride=2, padding=((3, 2), (3, 2)))
-    x = image.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    else:
+        x = image.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    c = 3
     wk = params["W"].astype(x.dtype)                      # [7, 7, 3, O]
     wk = jnp.pad(wk, ((1, 0), (1, 0), (0, 0), (0, 0)))    # [8, 8, 3, O]
     o = wk.shape[-1]

@@ -114,3 +114,26 @@ def test_stem_s2d_matches_direct_conv():
     d = conv2d(params, x_odd, stride=2, padding=((3, 2), (3, 2)))
     np.testing.assert_allclose(np.asarray(c), np.asarray(d),
                                atol=2e-4, rtol=1e-5)
+
+
+def test_preprocess_s2d_matches_flat():
+    """preprocess(s2d=True) emits the space-to-depth layout of EXACTLY the
+    flat preprocess output (transpose commutes with normalize; padding
+    unchanged) — the fused path that avoids 3 ms of layout copies."""
+    from object_detection_tracking_tpu.config import DetectorConfig
+    from object_detection_tracking_tpu.models import get_model
+    cfg = DetectorConfig(num_class=4, resnet_depth=18, short_edge_size=48,
+                         max_size=64, compute_dtype="float32")
+    m = get_model(cfg)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (2, 44, 60, 3)).astype(np.uint8)
+    flat = np.asarray(m.preprocess(img, 64, 64))          # [2, 64, 64, 3]
+    s2d = np.asarray(m.preprocess(img, 64, 64, s2d=True))  # [2, 32, 32, 12]
+    assert s2d.shape == (2, 32, 32, 12)
+    rebuilt = s2d.reshape(2, 32, 32, 2, 2, 3).transpose(
+        0, 1, 3, 2, 4, 5).reshape(2, 64, 64, 3)
+    np.testing.assert_array_equal(rebuilt, flat)
+    # odd extents fall back to the flat layout
+    odd = rng.randint(0, 256, (1, 45, 60, 3)).astype(np.uint8)
+    assert np.asarray(m.preprocess(odd, 64, 64, s2d=True)).shape \
+        == (1, 64, 64, 3)

@@ -56,7 +56,7 @@ def main():
         cfg2 = model.config
         h, w = 720, 1280
         hp, wp, fields, valids = model._static_geometry(h, w)
-        x = model.preprocess(img, hp, wp)
+        x = model.preprocess(img, hp, wp, s2d=True)
         if args.stage == "pre":
             return jnp.sum(x.astype(jnp.float32))
         p23456 = model.backbone(params, x)
