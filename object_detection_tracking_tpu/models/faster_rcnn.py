@@ -182,6 +182,53 @@ class FasterRCNNFPN:
         # matches the reference BGR path bit-for-bit (within 1 LSB)
         return jnp.round(jnp.clip(bgr, 0.0, 255.0))
 
+    def _i420_s2d_normalized(self, images: jnp.ndarray, hp: int,
+                             wp: int) -> jnp.ndarray:
+        """Fused I420 -> normalized space-to-depth stem input.
+
+        The 2x2 space-to-depth cell coincides exactly with I420's chroma
+        block (one U/V pair per 2x2 luma block, nearest upsampling), so
+        the conversion never materializes the [B, h, w, 3] full-res BGR
+        image: each of the four cell positions gets its BGR from a
+        strided luma slice plus the SHARED half-res chroma planes, all at
+        [B, h/2, w/2] — profiling showed the unfused path (f32 BGR then
+        relayout) cost ~3 ms/batch in pure layout copies at 8x720p.
+        Values bit-identical to i420_to_bgr -> s2d -> normalize (same
+        BT.601 math and cv2 quantization, same [dy, dx, BGR] channel
+        order)."""
+        cfg = self.config
+        b, h15, w = images.shape
+        h = h15 * 2 // 3
+        hh, hw = h // 2, w // 2
+        # ONE uint8 relayout up front: even/odd row+column deinterleave.
+        # (The lane-dim strided-slice formulation y[:, dy::2, dx::2] is a
+        # per-channel lane shuffle and measured no faster than the
+        # unfused path; a single transpose keeps all the math on
+        # [.., hh, hw] slabs with the image width in the vector lanes.)
+        ys2d = images[:, :h, :].reshape(b, hh, 2, hw, 2)
+        ys2d = ys2d.transpose(0, 2, 4, 1, 3)           # [b, 2, 2, hh, hw]
+        yy = 1.164 * (ys2d.astype(jnp.float32) - 16.0)
+        # chroma planes are shared by all four cell positions (nearest
+        # upsampling == the s2d cell structure); broadcast over (dy, dx)
+        u = images[:, h:h + h // 4, :].reshape(b, 1, 1, hh, hw)
+        v = images[:, h + h // 4:, :].reshape(b, 1, 1, hh, hw)
+        u = u.astype(jnp.float32) - 128.0
+        v = v.astype(jnp.float32) - 128.0
+        mean = np.asarray(_BGR_MEAN).reshape(-1)
+        std = np.asarray(_BGR_STD).reshape(-1)
+        chans = []
+        for ci, bgr in enumerate((yy + 2.018 * u,
+                                  yy - 0.391 * u - 0.813 * v,
+                                  yy + 1.596 * v)):
+            q = jnp.round(jnp.clip(bgr, 0.0, 255.0))
+            chans.append((q * (1.0 / 255.0) - mean[ci]) / std[ci])
+        out = jnp.stack(chans, axis=3)            # [b, 2, 2, 3, hh, hw]
+        out = out.astype(jnp.dtype(cfg.compute_dtype))
+        # one output relayout to the stem's [b, hh, hw, (dy, dx, BGR)]
+        out = out.transpose(0, 4, 5, 1, 2, 3).reshape(b, hh, hw, 12)
+        return jnp.pad(out, ((0, 0), (0, (hp - h) // 2),
+                             (0, (wp - w) // 2), (0, 0)))
+
     def preprocess(self, images: jnp.ndarray, hp: int, wp: int,
                    s2d: bool = False) -> jnp.ndarray:
         """[B, h, w, 3] BGR uint8/float (or [B, 3h/2, w] planar I420) ->
@@ -196,6 +243,11 @@ class FasterRCNNFPN:
         (transpose commutes with the elementwise normalize; zero padding
         unchanged). Falls back to the flat layout on odd extents."""
         cfg = self.config
+        if images.ndim == 3 and s2d:
+            b, h15, w = images.shape
+            h = h15 * 2 // 3
+            if h % 2 == 0 and w % 2 == 0:
+                return self._i420_s2d_normalized(images, hp, wp)
         if images.ndim == 3:
             images = self.i420_to_bgr(images)
         h, w = images.shape[1:3]
@@ -369,11 +421,17 @@ class FasterRCNNFPN:
         return {"so_final_boxes": sb, "so_final_labels": sl,
                 "so_final_probs": sp, "so_final_valid": sv}
 
-    def _roi_align_batched(self, p23456, boxes, pool: int) -> jnp.ndarray:
+    def _roi_align_batched(self, p23456, boxes, pool: int,
+                           valid=None) -> jnp.ndarray:
         """FPN ROIAlign over the batch: Pallas window kernel (fast; feature
         dtype preserved, so the bf16 path skips f32 casts) or the exact XLA
         gather per config.roi_align_impl. Returns [B, N, pool, pool, C] f32.
-        """
+
+        valid [B, N] bool (optional, inference Pallas path only): invalid
+        slots — NMS-suppressed proposals, score-sorted to the back — skip
+        their window DMA (the kernel's bound) and come back exactly zero,
+        mirroring the reference's dynamic NMS-survivor count flowing into
+        ROIAlign (nn.py:1390-1398)."""
         cfg = self.config
         if cfg.roi_align_impl == "pallas":
             if cfg.is_train:
@@ -384,12 +442,16 @@ class FasterRCNNFPN:
                     tuple(p23456[:4]), boxes, cfg.anchor_strides[:4], pool)
             from ..ops.pallas import multilevel_roi_align_pallas
             return multilevel_roi_align_pallas(
-                list(p23456[:4]), boxes, cfg.anchor_strides[:4], pool)
+                list(p23456[:4]), boxes, cfg.anchor_strides[:4], pool,
+                valid=valid)
         feat32 = [p.astype(jnp.float32) for p in p23456[:4]]
-        return jax.vmap(
+        out = jax.vmap(
             lambda f2, f3, f4, f5, bx: multilevel_roi_align(
                 [f2, f3, f4, f5], bx, cfg.anchor_strides[:4], pool)
         )(feat32[0], feat32[1], feat32[2], feat32[3], boxes)
+        if valid is not None:
+            out = jnp.where(valid[:, :, None, None, None], out, 0.0)
+        return out
 
     def _apply_head(self, params, roi_feats, boxes):
         """Box head over [B, K, 7, 7, C] features. Flattens the batch into
@@ -497,7 +559,8 @@ class FasterRCNNFPN:
 
         # ROIAlign + head (flatten batch -> one big matmul batch)
         k = prop_boxes.shape[1]
-        roi_feats = self._roi_align_batched(p23456, prop_boxes, 7)
+        roi_feats = self._roi_align_batched(p23456, prop_boxes, 7,
+                                            valid=prop_valid)
         label_out, box_out = self._apply_head(
             params, roi_feats, prop_boxes)
 
@@ -524,7 +587,7 @@ class FasterRCNNFPN:
         fb, fl, fp, fv, fci = jax.vmap(self._predictions_single)(
             decoded, probs, prop_valid)
 
-        box_feat = self._roi_align_batched(p23456, fb, 7)
+        box_feat = self._roi_align_batched(p23456, fb, 7, valid=fv)
 
         out = {
             "final_boxes": fb,
@@ -543,7 +606,7 @@ class FasterRCNNFPN:
 
         if cfg.add_mask and "maskrcnn" in params:
             r = cfg.result_per_im
-            mask_roi = self._roi_align_batched(p23456, fb, 14)
+            mask_roi = self._roi_align_batched(p23456, fb, 14, valid=fv)
             mask_roi = mask_roi.reshape(b * r, 14, 14, cfg.fpn_num_channel)
             mask_logits = heads_lib.maskrcnn_up4conv_head(
                 params["maskrcnn"],

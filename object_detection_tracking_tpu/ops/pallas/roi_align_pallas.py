@@ -28,18 +28,25 @@ wanting exact reference level selection for arbitrarily elongated boxes
 use the XLA path. Pass bf16 features for half the DMA bytes; the matmuls
 then run at bf16 input precision (matches the detector's bf16 path).
 
-Perf study (round 2, v5e, 8000 ROIs @ 720p C=256 bf16, tunnel latency
-subtracted; later remeasured with scalar-only readback — any MB-scale
-device->host readback in a harness rides the ~25-75 MB/s tunnel and
-dominates the timing, which inflated earlier numbers): the kernel is
-~19-26 ms for 8x1000 ROIs (~2.5 us/ROI), insensitive to window bytes
-(a WIN_Y=8 probe times the same), i.e. bound by per-ROI issue/loop
-overhead + overlapped DMA, not bandwidth. Measured and REJECTED: deeper
-DMA pipelining (NBUF 4/8), bigger blocks (BLK 4/8), a block-diagonal
-fused y-matmul [BLK*14, BLK*48] (forces a window relayout), x-axis-first
-contraction. The 2x2 avg pool is folded into the hat-weight matrices
-(halves matmul FLOPs, exact). tools/roi_ab_bench.py re-runs the
-interleaved A/B matrix via the ODT_ROI_* env overrides.
+Perf study (rounds 2-3, v5e, 8000 ROIs @ 720p C=256 bf16, tunnel latency
+subtracted; timing harnesses must reduce on device and read ONE scalar —
+any MB-scale device->host readback rides the ~25-75 MB/s tunnel and
+dominates). Round-3 ablation of the round-2 kernel (which built the
+interpolation weights per ROI on the Mosaic scalar core): weight
+construction 41% of kernel time, matmul issue 33%, DMA+loop 26%. The
+weights are therefore precomputed for ALL ROIs in XLA (vectorized,
+~free) and each block's rows ride one extra contiguous DMA — interleaved
+A/B: 2.2x faster than the round-2 kernel, and an ABLATE_MM probe now
+times the same as the full kernel, i.e. the matmuls are fully hidden
+and the kernel is DMA-issue/loop bound (~1.1 us/ROI). BLK=4 beats 2 and
+8; NBUF=4 still crashes this backend's Mosaic (INTERNAL). Also measured
+and REJECTED: a fused two-contracting-dims dot_general (unsupported:
+"lhs contracting dims must be of size 1"), block-diagonal fused
+y-matmul (forces a window relayout), x-axis-first contraction, WIN_Y=8
+window shrink (no change — not bandwidth bound). The 2x2 avg pool is
+folded into the hat-weight matrices (halves matmul FLOPs, exact).
+tools/roi_ab_bench.py re-runs the interleaved A/B matrix via the
+ODT_ROI_* env overrides.
 
 Mosaic gotchas encoded here (cost a debugging session):
   * W-dim DMA offsets must be multiples of the 8-sublane tile -> x origins
@@ -58,6 +65,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -71,35 +79,71 @@ import os
 WIN_Y = int(os.environ.get("ODT_ROI_WIN_Y", 48))
 WIN_X = int(os.environ.get("ODT_ROI_WIN_X", 56))  # W offsets align to the
 #            8-sublane tile (up to 7 px slack)
-BLK = int(os.environ.get("ODT_ROI_BLK", 2))   # ROIs per pipeline step
+BLK = int(os.environ.get("ODT_ROI_BLK", 4))   # ROIs per pipeline step
 NBUF = int(os.environ.get("ODT_ROI_NBUF", 2))
+# timing-ablation switch (tools/roi_ab_bench.py only): ABLATE_MM skips
+# the contraction entirely (isolates DMA+loop cost; wrong results).
+# Historical A/B (round 3): in-kernel per-ROI weight construction was 41%
+# of kernel time (scalar-core bound — SMEM reads + iota math per ROI);
+# weights are now precomputed vectorized in XLA and DMA'd per block. A
+# fused two-contracting-dims dot_general was tried and is NOT supported
+# by Mosaic ("lhs contracting dims must be of size 1").
+ABLATE_MM = int(os.environ.get("ODT_ROI_ABLATE_MM", "0"))
 MAX_ROIS_PER_CALL = 8192   # SMEM meta budget (36 B/roi of 1 MB)
 
 
-def _kernel(meta_i_ref, meta_f_ref, levels_ref, out_ref,
-            win_scratch, out_scratch, in_sems, out_sems,
-            *, n_blocks: int, pool: int, c: int, exact: bool):
-    s = pool * 2
+def _kernel(meta_i_ref, *refs,
+            n_levels: int, n_blocks: int, pool: int, c: int, exact: bool):
+    level_refs = refs[:n_levels]
+    wyx_ref = refs[n_levels]
+    out_ref = refs[n_levels + 1]
+    (win_scratch, w_scratch, out_scratch,
+     in_sems, w_sems, out_sems) = refs[n_levels + 2:]
     pool_pad = ((pool + 7) // 8) * 8
     precision = jax.lax.Precision.HIGHEST if exact else None
 
-    def in_dma(slot, j, blk, r):
-        i = blk * BLK + r
+    def in_dma(ref, slot, j, i):
         xs = pl.multiple_of(meta_i_ref[2, i] * 8, 8)
         return pltpu.make_async_copy(
-            levels_ref.at[meta_i_ref[0, i],
-                          pl.ds(meta_i_ref[1, i], WIN_Y),
-                          pl.ds(xs, WIN_X), :],
+            ref.at[meta_i_ref[0, i],
+                   pl.ds(meta_i_ref[1, i], WIN_Y),
+                   pl.ds(xs, WIN_X), :],
             win_scratch.at[slot, j],
             in_sems.at[slot, j])
 
+    def w_dma(slot, blk):
+        # the whole block's precomputed interpolation weights ride ONE
+        # contiguous DMA (rows blk*BLK..+BLK of the packed [N, pool, WP])
+        return pltpu.make_async_copy(
+            wyx_ref.at[pl.ds(blk * BLK, BLK)],
+            w_scratch.at[slot],
+            w_sems.at[slot])
+
+    def _issue(op, slot, j, blk):
+        # The FPN levels stay in their NATURAL per-level HBM buffers —
+        # packing them into one padded [B*L, Hmax, Wmax, C] buffer (the
+        # round-2 design) cost ~1 GB of XLA relayout copies per call,
+        # which a prologue-only ablation showed was the ENTIRE cost of
+        # the op. Each ROI's source ref is picked by a predicated DMA on
+        # its level scalar (exactly one branch fires; window byte counts
+        # are identical across levels so the semaphore accounting
+        # matches). Invalid ROIs (valid=0 — NMS-suppressed slots) fire
+        # nothing and are pinned to zero output by their zeroed weights.
+        i = blk * BLK + j
+        for li, ref in enumerate(level_refs):
+            @pl.when((meta_i_ref[4, i] == li) & (meta_i_ref[3, i] != 0))
+            def _(ref=ref):
+                getattr(in_dma(ref, slot, j, i), op)()
+
     def start_block(slot, blk):
         for j in range(BLK):
-            in_dma(slot, j, blk, j).start()
+            _issue("start", slot, j, blk)
+        w_dma(slot, blk).start()
 
     def wait_block(slot, blk):
         for j in range(BLK):
-            in_dma(slot, j, blk, j).wait()
+            _issue("wait", slot, j, blk)
+        w_dma(slot, blk).wait()
 
     def out_dma(slot, blk):
         return pltpu.make_async_copy(
@@ -107,28 +151,14 @@ def _kernel(meta_i_ref, meta_f_ref, levels_ref, out_ref,
             out_ref.at[pl.ds(blk * BLK, BLK)],
             out_sems.at[slot])
 
+    # Skipped (invalid) ROIs never DMA into their window slot; their
+    # weights are zeroed host-side so the contraction yields exactly 0 —
+    # but 0 x NaN = NaN, and first-use slots hold uninitialized VMEM
+    # bits. One up-front scratch clear (a few us) makes every skipped
+    # slot 0 x finite.
+    win_scratch[...] = jnp.zeros(win_scratch.shape, win_scratch.dtype)
+
     start_block(0, 0)
-
-    def weights(win, origin, start, spacing, extent):
-        """Pool-folded interpolation weights [pool, win] for one axis: the
-        2x2 average pool is absorbed by averaging each pair of adjacent
-        sample rows of the hat-function matrix (exact — the pool is a mean
-        over samples and the contraction is linear)."""
-        # two explicit sample rows per pool cell (strided slices don't
-        # lower in Mosaic, so build each half from its own iota)
-        k = jax.lax.broadcasted_iota(jnp.int32, (pool, 1), 0)
-        k = k.astype(jnp.float32)
-        r = jax.lax.broadcasted_iota(jnp.int32, (pool, win), 1)
-        r = r.astype(jnp.float32)
-
-        def hat(abs_coord):
-            w = jnp.maximum(0.0, 1.0 - jnp.abs(abs_coord - origin - r))
-            valid = (abs_coord >= 0.0) & (abs_coord <= extent - 1.0)
-            return w * valid.astype(jnp.float32)
-
-        a0 = start + spacing * (2.0 * k + 0.5) - 0.5        # [pool, 1]
-        a1 = start + spacing * (2.0 * k + 1.5) - 0.5
-        return 0.5 * (hat(a0) + hat(a1))                    # [pool, win]
 
     def body(blk, _):
         slot = blk % NBUF
@@ -140,32 +170,29 @@ def _kernel(meta_i_ref, meta_f_ref, levels_ref, out_ref,
 
         wait_block(slot, blk)
 
-        wys, wxs = [], []
-        for j in range(BLK):
-            i = blk * BLK + j
-            wys.append(weights(
-                WIN_Y, meta_i_ref[1, i].astype(jnp.float32),
-                meta_f_ref[0, i], meta_f_ref[2, i], meta_f_ref[4, i]))
-            wxs.append(weights(
-                WIN_X, (meta_i_ref[2, i] * 8).astype(jnp.float32),
-                meta_f_ref[1, i], meta_f_ref[3, i], meta_f_ref[5, i]))
-        wy = jnp.stack(wys)                                  # [BLK, pool, WY]
-        wx = jnp.stack(wxs)                                  # [BLK, pool, WX]
+        wblk = w_scratch[slot]                      # [BLK, pad8(pool), WP]
+        wy = wblk[:, :pool, :WIN_Y]                 # [BLK, pool, WY]
+        wx = wblk[:, :pool, WIN_Y:WIN_Y + WIN_X]    # [BLK, pool, WX]
 
         win = win_scratch[slot]                     # [BLK, WY, WX, C]
         dt = win.dtype
-        # batched y-contraction; no reshapes (sublane/lane merging scrambles)
-        tmp = jax.lax.dot_general(
-            wy.astype(dt), win, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=precision)                    # [BLK, pool, WX, C]
-        full = jax.lax.dot_general(
-            wx.astype(dt), tmp.astype(dt), (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=precision)                    # [BLK, px, py, C]
-        pooled = jnp.swapaxes(full, 1, 2)           # [BLK, py, px, C]
-        pooled = jnp.pad(
-            pooled, ((0, 0), (0, 0), (0, pool_pad - pool), (0, 0)))
+        if ABLATE_MM:
+            pooled = win[:, :pool, :pool_pad, :].astype(jnp.float32)
+        else:
+            # batched y-contraction; no reshapes (sublane/lane merging
+            # scrambles)
+            tmp = jax.lax.dot_general(
+                wy, win, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=precision)                # [BLK, pool, WX, C]
+            full = jax.lax.dot_general(
+                wx, tmp.astype(dt), (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=precision)                # [BLK, px, py, C]
+            pooled = jnp.swapaxes(full, 1, 2)       # [BLK, py, px, C]
+        if pooled.shape[2] != pool_pad:
+            pooled = jnp.pad(
+                pooled, ((0, 0), (0, 0), (0, pool_pad - pool), (0, 0)))
 
         @pl.when(blk >= NBUF)
         def _():
@@ -189,43 +216,76 @@ def _pad8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
-def _roi_align_packed(packed: jnp.ndarray, meta_i: jnp.ndarray,
-                      meta_f: jnp.ndarray, pool: int) -> jnp.ndarray:
-    """packed [G, Hmax, Wmax, C]; meta_i [3, N] int32 (group, ys, xs/8);
-    meta_f [6, N] f32 (y0, x0, sh, sw, h_ext, w_ext) -> [N, pool, pool, C].
-    Meta arrays are fields-major: SMEM pads the minor dim to 128 lanes, so
-    [N, k] layouts would blow the 1 MB SMEM budget at N=8000. N is padded
-    to a multiple of BLK (padding rois have extent 0 -> all-zero output).
+def _interp_weights(origin, start, spacing, extent, win: int, pool: int):
+    """Pool-folded interpolation weights, vectorized over all ROIs in XLA
+    (the kernel used to build these per ROI on the Mosaic scalar core —
+    41% of kernel time). [N] params -> [N, pool, win] f32: the 2x2
+    average pool is absorbed by averaging each pair of adjacent sample
+    rows of the hat-function matrix (exact — the pool is a mean over
+    samples and the contraction is linear)."""
+    k = jnp.arange(pool, dtype=jnp.float32)[None, :, None]
+    r = jnp.arange(win, dtype=jnp.float32)[None, None, :]
+    origin = origin[:, None, None]
+    start = start[:, None, None]
+    spacing = spacing[:, None, None]
+    extent = extent[:, None, None]
+
+    def hat(a):                                       # a [N, pool, 1]
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(a - origin - r))
+        valid = (a >= 0.0) & (a <= extent - 1.0)
+        return w * valid.astype(jnp.float32)
+
+    a0 = start + spacing * (2.0 * k + 0.5) - 0.5
+    a1 = start + spacing * (2.0 * k + 1.5) - 0.5
+    return 0.5 * (hat(a0) + hat(a1))                  # [N, pool, win]
+
+
+def _roi_align_levels(levels, meta_i: jnp.ndarray,
+                      wyx: jnp.ndarray, pool: int) -> jnp.ndarray:
+    """levels: list of [B, H_l, W_l, C] buffers (H_l >= WIN_Y, W_l >=
+    WIN_X — the caller minimally pads coarse pyramid tops); meta_i
+    [5, N] int32 (image, ys, xs/8, valid, level); wyx [N, pad8(pool),
+    WP] precomputed interpolation weights (y block then x block along
+    the last dim) -> [N, pool, pool, C]. meta_i is fields-major: SMEM
+    pads the minor dim to 128 lanes, so [N, k] layouts would blow the
+    1 MB SMEM budget at N=8000. N is padded to a multiple of BLK
+    (padding rois get valid=0 -> DMA skipped, output 0).
     """
     n = meta_i.shape[1]
-    c = packed.shape[-1]
-    # the prefetched meta arrays live in SMEM (1 MB budget): 9 fields x 4B
-    # = 36 B/roi caps one call at ~8k ROIs; chunk bigger workloads (e.g.
-    # B=32 x 1000 proposals) over multiple pallas calls on one packed buf
+    c = levels[0].shape[-1]
+    wp = wyx.shape[-1]
+    # the prefetched meta array lives in SMEM (1 MB budget); chunk bigger
+    # workloads (e.g. B=32 x 1000 proposals) over multiple pallas calls
+    # on the same level buffers
     max_n = MAX_ROIS_PER_CALL
     if n > max_n:
         outs = [
-            _roi_align_packed(packed, meta_i[:, i:i + max_n],
-                              meta_f[:, i:i + max_n], pool)
+            _roi_align_levels(levels, meta_i[:, i:i + max_n],
+                              wyx[i:i + max_n], pool)
             for i in range(0, n, max_n)
         ]
         return jnp.concatenate(outs, axis=0)
     n_pad = ((n + BLK - 1) // BLK) * BLK
     if n_pad != n:
         meta_i = jnp.pad(meta_i, ((0, 0), (0, n_pad - n)))
-        meta_f = jnp.pad(meta_f, ((0, 0), (0, n_pad - n)))
-    exact = packed.dtype == jnp.float32
-    kernel = functools.partial(_kernel, n_blocks=n_pad // BLK, pool=pool,
+        wyx = jnp.pad(wyx, ((0, n_pad - n), (0, 0), (0, 0)))
+    dt = levels[0].dtype
+    exact = dt == jnp.float32
+    kernel = functools.partial(_kernel, n_levels=len(levels),
+                               n_blocks=n_pad // BLK, pool=pool,
                                c=c, exact=exact)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)
+                  for _ in range(len(levels) + 1)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, BLK, WIN_Y, WIN_X, c), packed.dtype),
+            pltpu.VMEM((NBUF, BLK, WIN_Y, WIN_X, c), dt),
+            pltpu.VMEM((NBUF, BLK, wyx.shape[1], wp), dt),
             pltpu.VMEM((NBUF, BLK, pool, _pad8(pool), c), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF, BLK)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
@@ -239,7 +299,7 @@ def _roi_align_packed(packed: jnp.ndarray, meta_i: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         # CPU (tests / dev boxes) can only interpret Mosaic kernels
         interpret=jax.default_backend() == "cpu",
-    )(meta_i, meta_f, packed)
+    )(meta_i, *levels, wyx.astype(dt))
     return out[:n, :, :pool, :]
 
 
@@ -247,9 +307,15 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
                                 boxes: jnp.ndarray,
                                 strides: Sequence[int],
                                 output_size: int,
-                                levels: jnp.ndarray = None) -> jnp.ndarray:
+                                levels: jnp.ndarray = None,
+                                valid: jnp.ndarray = None) -> jnp.ndarray:
     """Batched FPN ROIAlign. features: list of [B, H_l, W_l, C] (p2..p5);
-    boxes [B, N, 4] image-coord x1y1x2y2. Returns [B, N, P, P, C] f32."""
+    boxes [B, N, 4] image-coord x1y1x2y2. Returns [B, N, P, P, C] f32.
+
+    valid [B, N] bool (optional): invalid ROIs skip their window DMA on
+    the scalar core (the kernel's bound) and return exactly zero — the
+    static-shape equivalent of the reference's dynamic NMS-survivor
+    count flowing into ROIAlign."""
     from ..roi_align import fpn_map_rois_to_levels
 
     b = boxes.shape[0]
@@ -262,14 +328,20 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     if c_pad != c:
         features = [jnp.pad(f, ((0, 0), (0, 0), (0, 0), (0, c_pad - c)))
                     for f in features]
-    hmax = max(max(f.shape[1] for f in features), WIN_Y)
-    wmax = max(max(f.shape[2] for f in features), WIN_X)
-    padded = [
-        jnp.pad(f, ((0, 0), (0, hmax - f.shape[1]), (0, wmax - f.shape[2]),
-                    (0, 0))) for f in features
+    # Levels stay in their NATURAL per-level buffers (a packed
+    # [B*L, Hmax, Wmax, C] buffer cost ~1 GB of relayout copies per call
+    # — measured as the ENTIRE cost of the op); only pyramid tops
+    # smaller than one DMA window get a minimal zero pad.
+    h_ext = jnp.asarray([f.shape[1] for f in features], jnp.float32)
+    w_ext = jnp.asarray([f.shape[2] for f in features], jnp.float32)
+    level_bufs = [
+        jnp.pad(f, ((0, 0), (0, max(WIN_Y - f.shape[1], 0)),
+                    (0, max(WIN_X - f.shape[2], 0)), (0, 0)))
+        if f.shape[1] < WIN_Y or f.shape[2] < WIN_X else f
+        for f in features
     ]
-    # [B, L, Hmax, Wmax, C] -> [B*L, Hmax, Wmax, C]
-    packed = jnp.stack(padded, axis=1).reshape(b * L, hmax, wmax, c_pad)
+    hpads = np.asarray([f.shape[1] for f in level_bufs], np.float32)
+    wpads = np.asarray([f.shape[2] for f in level_bufs], np.float32)
 
     flat_boxes = boxes.reshape(b * n, 4)
     if levels is None:
@@ -295,7 +367,6 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
         lvl = levels.reshape(b * n).astype(jnp.int32)
     lvl = jnp.clip(lvl, 0, L - 1)
     img = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
-    group = img * L + lvl
 
     stride = jnp.asarray(strides, jnp.float32)[lvl]
     fb = flat_boxes / stride[:, None]
@@ -303,20 +374,43 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     sh = (fb[:, 3] - fb[:, 1]) / (output_size * 2)
     sw = (fb[:, 2] - fb[:, 0]) / (output_size * 2)
 
-    # window origins: first sample's floor, clipped into the padded buffer;
-    # x origin stored pre-divided by 8 (sublane-tile alignment for the DMA)
-    ys = jnp.clip(jnp.floor(y0 + 0.5 * sh - 0.5), 0, hmax - WIN_Y)
+    # window origins: first sample's floor, clipped into the ROI's own
+    # level buffer; x origin stored pre-divided by 8 (sublane-tile
+    # alignment for the DMA)
+    ys = jnp.clip(jnp.floor(y0 + 0.5 * sh - 0.5), 0,
+                  jnp.asarray(hpads, jnp.float32)[lvl] - WIN_Y)
     xs8 = jnp.clip(jnp.floor((x0 + 0.5 * sw - 0.5) / 8.0), 0,
-                   (wmax - WIN_X) // 8)
+                   jnp.floor((jnp.asarray(wpads, jnp.float32)[lvl]
+                              - WIN_X) / 8.0))
 
-    h_ext = jnp.asarray([f.shape[1] for f in features], jnp.float32)[lvl]
-    w_ext = jnp.asarray([f.shape[2] for f in features], jnp.float32)[lvl]
+    h_ext_r = h_ext[lvl]
+    w_ext_r = w_ext[lvl]
 
+    if valid is None:
+        vflat = jnp.ones((b * n,), jnp.int32)
+    else:
+        vflat = valid.reshape(b * n).astype(jnp.int32)
     meta_i = jnp.stack(
-        [group, ys.astype(jnp.int32), xs8.astype(jnp.int32)], axis=0)
-    meta_f = jnp.stack([y0, x0, sh, sw, h_ext, w_ext], axis=0)
+        [img, ys.astype(jnp.int32), xs8.astype(jnp.int32), vflat, lvl],
+        axis=0)
+    wy = _interp_weights(ys, y0, sh, h_ext_r, WIN_Y, output_size)
+    if valid is not None:
+        # invalid ROIs' windows are never DMA'd; zero weights pin their
+        # output to exactly 0 (see the scratch clear in _kernel)
+        wy = wy * vflat[:, None, None].astype(jnp.float32)
+    wx = _interp_weights(xs8 * 8.0, x0, sw, w_ext_r, WIN_X, output_size)
+    # pack both axes' weights into one row per ROI so the kernel fetches
+    # a block's weights in a single contiguous DMA; pad the packed dim to
+    # the 128-lane tile and the pool dim to the 8-sublane tile (Mosaic
+    # rejects DMA slices whose second-minor extent isn't tile-aligned)
+    wp = ((WIN_Y + WIN_X + 127) // 128) * 128
+    wyx = jnp.concatenate(
+        [wy, wx, jnp.zeros((wy.shape[0], output_size,
+                            wp - WIN_Y - WIN_X), jnp.float32)], axis=-1)
+    wyx = jnp.pad(wyx, ((0, 0), (0, _pad8(output_size) - output_size),
+                        (0, 0)))
 
-    out = _roi_align_packed(packed, meta_i, meta_f, output_size)
+    out = _roi_align_levels(level_bufs, meta_i, wyx, output_size)
     out = out.reshape(b, n, output_size, output_size, c_pad)
     return out[..., :c]
 

@@ -137,3 +137,21 @@ def test_preprocess_s2d_matches_flat():
     odd = rng.randint(0, 256, (1, 45, 60, 3)).astype(np.uint8)
     assert np.asarray(m.preprocess(odd, 64, 64, s2d=True)).shape \
         == (1, 64, 64, 3)
+
+
+def test_preprocess_i420_s2d_matches_unfused():
+    """Fused I420->s2d preprocess == i420_to_bgr -> s2d -> normalize
+    (the 2x2 s2d cell coincides with I420's chroma block, so the fused
+    path never materializes full-res BGR — bit-identical values)."""
+    from object_detection_tracking_tpu.config import DetectorConfig
+    from object_detection_tracking_tpu.models import get_model
+    cfg = DetectorConfig(num_class=4, resnet_depth=18, short_edge_size=48,
+                         max_size=64, compute_dtype="float32")
+    m = get_model(cfg)
+    rng = np.random.RandomState(1)
+    i420 = rng.randint(0, 256, (2, 66, 60)).astype(np.uint8)  # h=44
+    fused = np.asarray(m.preprocess(i420, 64, 64, s2d=True))
+    assert fused.shape == (2, 32, 32, 12)
+    bgr = np.asarray(m.i420_to_bgr(i420))                  # [2, 44, 60, 3]
+    unfused = np.asarray(m.preprocess(bgr, 64, 64, s2d=True))
+    np.testing.assert_array_equal(fused, unfused)

@@ -178,3 +178,24 @@ def test_trainable_vjp_matches_xla_grads():
     g_x = jax.grad(loss_xla)(feats)
     for a, b in zip(g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_valid_skip_zeroes_invalid_and_keeps_valid_exact():
+    """valid=... skips invalid ROIs' window DMAs (the kernel's bound):
+    invalid slots must come back exactly 0 and valid slots bit-identical
+    to the no-valid-arg call."""
+    rng = np.random.RandomState(7)
+    feats = make_feats(rng, b=2)
+    x0 = rng.uniform(0, 150, (2, 9))
+    y0 = rng.uniform(0, 100, (2, 9))
+    sz = rng.uniform(10, 80, (2, 9))
+    boxes = jnp.asarray(
+        np.stack([x0, y0, x0 + sz, y0 + sz], -1).astype(np.float32))
+    valid = jnp.asarray(rng.rand(2, 9) > 0.4)
+    full = np.asarray(RP.multilevel_roi_align_pallas(
+        list(feats), boxes, (4, 8, 16, 32), 7))
+    got = np.asarray(RP.multilevel_roi_align_pallas(
+        list(feats), boxes, (4, 8, 16, 32), 7, valid=valid))
+    v = np.asarray(valid)
+    assert np.array_equal(got[v], full[v])
+    assert np.all(got[~v] == 0.0)

@@ -73,7 +73,8 @@ def main():
                 h, w))(*label_logits, *box_logits)
         if args.stage == "proposals":
             return jnp.sum(prop_boxes) + jnp.sum(prop_valid)
-        roi_feats = model._roi_align_batched(p23456, prop_boxes, 7)
+        roi_feats = model._roi_align_batched(p23456, prop_boxes, 7,
+                                             valid=prop_valid)
         if args.stage == "roi":
             return jnp.sum(roi_feats.astype(jnp.float32))
         out = model.forward(params, img)

@@ -18,12 +18,11 @@ import subprocess
 import sys
 
 VARIANTS = [
-    ("base-48x56-b2n2", {}),
+    ("xla-weights-b2n2", {}),
     ("blk4", {"ODT_ROI_BLK": "4"}),
-    ("nbuf4", {"ODT_ROI_NBUF": "4"}),
-    ("winy8-DIAGNOSTIC", {"ODT_ROI_WIN_Y": "8"}),  # wrong results; timing
-    # probe only: if time barely drops, the kernel is DMA-issue-bound, not
-    # bandwidth-bound
+    ("blk8", {"ODT_ROI_BLK": "8"}),
+    ("blk4-nbuf4", {"ODT_ROI_BLK": "4", "ODT_ROI_NBUF": "4"}),
+    ("ablate-mm-DIAGNOSTIC", {"ODT_ROI_ABLATE_MM": "1"}),  # wrong results
 ]
 
 _CHILD = r"""
