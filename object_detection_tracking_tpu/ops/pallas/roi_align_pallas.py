@@ -76,9 +76,17 @@ import os
 # long side. 48x56 covers aspect-stretch up to ~2.8 (tall persons included).
 # The env overrides exist ONLY for kernel A/B timing experiments
 # (tools/roi_ab_bench.py); the defaults are the supported configuration.
-WIN_Y = int(os.environ.get("ODT_ROI_WIN_Y", 48))
-WIN_X = int(os.environ.get("ODT_ROI_WIN_X", 56))  # W offsets align to the
+WIN_Y = int(os.environ.get("ODT_ROI_WIN_Y", 40))
+WIN_X = int(os.environ.get("ODT_ROI_WIN_X", 48))  # W offsets align to the
 #            8-sublane tile (up to 7 px slack)
+# Round-3 in-context finding: the isolated A/B below drew large boxes
+# (tiny levels, cheap DMA), but the detector's proposals are p2-heavy and
+# the kernel in the full forward runs ~43% bandwidth-bound (WIN_Y 48->32
+# cut 8x1000-ROI time 20.0->17.2 ms in-context). 40x48 (was 48x56)
+# trims window bytes 29% and lowers the demotion threshold fit 46->38 px
+# (boxes with long side > 38*stride on their level bump one level —
+# reaches ~aspect-1.84+ boxes at the top of their level's size band,
+# instead of only >2.8 before).
 BLK = int(os.environ.get("ODT_ROI_BLK", 4))   # ROIs per pipeline step
 NBUF = int(os.environ.get("ODT_ROI_NBUF", 2))
 # timing-ablation switch (tools/roi_ab_bench.py only): ABLATE_MM skips
@@ -92,7 +100,7 @@ ABLATE_MM = int(os.environ.get("ODT_ROI_ABLATE_MM", "0"))
 MAX_ROIS_PER_CALL = 8192   # SMEM meta budget (36 B/roi of 1 MB)
 
 
-def _kernel(meta_i_ref, *refs,
+def _kernel(meta_i_ref, meta_b_ref, *refs,
             n_levels: int, n_blocks: int, pool: int, c: int, exact: bool):
     level_refs = refs[:n_levels]
     wyx_ref = refs[n_levels]
@@ -119,30 +127,47 @@ def _kernel(meta_i_ref, *refs,
             w_scratch.at[slot],
             w_sems.at[slot])
 
-    def _issue(op, slot, j, blk):
+    def _issue_roi(op, ref, slot, j, i):
+        # Invalid ROIs (valid=0 — NMS-suppressed slots) fire nothing and
+        # are pinned to zero output by their zeroed weights.
+        @pl.when(meta_i_ref[3, i] != 0)
+        def _():
+            getattr(in_dma(ref, slot, j, i), op)()
+
+    def _issue(op, slot, blk):
         # The FPN levels stay in their NATURAL per-level HBM buffers —
         # packing them into one padded [B*L, Hmax, Wmax, C] buffer (the
         # round-2 design) cost ~1 GB of XLA relayout copies per call,
         # which a prologue-only ablation showed was the ENTIRE cost of
-        # the op. Each ROI's source ref is picked by a predicated DMA on
-        # its level scalar (exactly one branch fires; window byte counts
-        # are identical across levels so the semaphore accounting
-        # matches). Invalid ROIs (valid=0 — NMS-suppressed slots) fire
-        # nothing and are pinned to zero output by their zeroed weights.
-        i = blk * BLK + j
+        # the op. The prologue SORTS ROIs by level, so nearly every
+        # BLK-block is single-level: its source ref is picked by ONE
+        # level predicate per block (meta_b) instead of per ROI — the
+        # scalar core's per-ROI level predication was part of the
+        # ~1.1 us/ROI issue bound. Blocks straddling a level boundary
+        # (meta_b = -1; at most n_levels-1 per call) take the per-ROI
+        # fallback. Window byte counts are identical across levels so
+        # the semaphore accounting matches either way.
         for li, ref in enumerate(level_refs):
-            @pl.when((meta_i_ref[4, i] == li) & (meta_i_ref[3, i] != 0))
+            @pl.when(meta_b_ref[blk] == li)
             def _(ref=ref):
-                getattr(in_dma(ref, slot, j, i), op)()
+                for j in range(BLK):
+                    _issue_roi(op, ref, slot, j, blk * BLK + j)
+
+        @pl.when(meta_b_ref[blk] < 0)
+        def _():
+            for j in range(BLK):
+                i = blk * BLK + j
+                for li, ref in enumerate(level_refs):
+                    @pl.when(meta_i_ref[4, i] == li)
+                    def _(ref=ref):
+                        _issue_roi(op, ref, slot, j, i)
 
     def start_block(slot, blk):
-        for j in range(BLK):
-            _issue("start", slot, j, blk)
+        _issue("start", slot, blk)
         w_dma(slot, blk).start()
 
     def wait_block(slot, blk):
-        for j in range(BLK):
-            _issue("wait", slot, j, blk)
+        _issue("wait", slot, blk)
         w_dma(slot, blk).wait()
 
     def out_dma(slot, blk):
@@ -267,15 +292,23 @@ def _roi_align_levels(levels, meta_i: jnp.ndarray,
         return jnp.concatenate(outs, axis=0)
     n_pad = ((n + BLK - 1) // BLK) * BLK
     if n_pad != n:
-        meta_i = jnp.pad(meta_i, ((0, 0), (0, n_pad - n)))
+        # edge-pad so the tail block keeps the last ROI's level (stays on
+        # the single-level fast path); padding slots are valid=0
+        meta_i = jnp.pad(meta_i, ((0, 0), (0, n_pad - n)), mode="edge")
+        meta_i = meta_i.at[3, n:].set(0)
         wyx = jnp.pad(wyx, ((0, n_pad - n), (0, 0), (0, 0)))
+    # per-block level: the level shared by all BLK ROIs, or -1 for the
+    # rare straddle block (prologue sorts ROIs by level)
+    lvl_blocks = meta_i[4].reshape(n_pad // BLK, BLK)
+    uniform = jnp.all(lvl_blocks == lvl_blocks[:, :1], axis=1)
+    meta_b = jnp.where(uniform, lvl_blocks[:, 0], -1).astype(jnp.int32)
     dt = levels[0].dtype
     exact = dt == jnp.float32
     kernel = functools.partial(_kernel, n_levels=len(levels),
                                n_blocks=n_pad // BLK, pool=pool,
                                c=c, exact=exact)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)
                   for _ in range(len(levels) + 1)],
@@ -299,7 +332,7 @@ def _roi_align_levels(levels, meta_i: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         # CPU (tests / dev boxes) can only interpret Mosaic kernels
         interpret=jax.default_backend() == "cpu",
-    )(meta_i, *levels, wyx.astype(dt))
+    )(meta_i, meta_b, *levels, wyx.astype(dt))
     return out[:n, :, :pool, :]
 
 
@@ -316,6 +349,21 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     the scalar core (the kernel's bound) and return exactly zero — the
     static-shape equivalent of the reference's dynamic NMS-survivor
     count flowing into ROIAlign."""
+    b, n = boxes.shape[0], boxes.shape[1]
+    c = features[0].shape[-1]
+    level_bufs, meta_i, wyx, c_pad, inv = _prepare_roi_align(
+        features, boxes, strides, output_size, levels, valid)
+    out = _roi_align_levels(level_bufs, meta_i, wyx, output_size)
+    out = out[inv]  # undo the prologue's sort-by-level
+    out = out.reshape(b, n, output_size, output_size, c_pad)
+    return out[..., :c]
+
+
+def _prepare_roi_align(features, boxes, strides, output_size,
+                       levels=None, valid=None):
+    """XLA prologue of the Pallas ROIAlign: level assignment (+aspect
+    demotion), window origins, packed interpolation weights. Split out so
+    tools/device_bench.py can time prologue vs kernel in context."""
     from ..roi_align import fpn_map_rois_to_levels
 
     b = boxes.shape[0]
@@ -367,6 +415,22 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
         lvl = levels.reshape(b * n).astype(jnp.int32)
     lvl = jnp.clip(lvl, 0, L - 1)
     img = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+    if valid is None:
+        vflat = jnp.ones((b * n,), jnp.int32)
+    else:
+        vflat = valid.reshape(b * n).astype(jnp.int32)
+
+    # Sort ROIs by level (stable — same-level ROIs keep score order):
+    # nearly every BLK-block is then single-level, so the kernel issues
+    # its window DMAs behind ONE level predicate per block, and
+    # same-level windows land adjacently for better HBM locality. The
+    # caller un-permutes the kernel output with `inv`.
+    order = jnp.argsort(lvl, stable=True)
+    inv = jnp.argsort(order)
+    lvl = lvl[order]
+    flat_boxes = flat_boxes[order]
+    img = img[order]
+    vflat = vflat[order]
 
     stride = jnp.asarray(strides, jnp.float32)[lvl]
     fb = flat_boxes / stride[:, None]
@@ -386,10 +450,6 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     h_ext_r = h_ext[lvl]
     w_ext_r = w_ext[lvl]
 
-    if valid is None:
-        vflat = jnp.ones((b * n,), jnp.int32)
-    else:
-        vflat = valid.reshape(b * n).astype(jnp.int32)
     meta_i = jnp.stack(
         [img, ys.astype(jnp.int32), xs8.astype(jnp.int32), vflat, lvl],
         axis=0)
@@ -409,10 +469,7 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
                             wp - WIN_Y - WIN_X), jnp.float32)], axis=-1)
     wyx = jnp.pad(wyx, ((0, 0), (0, _pad8(output_size) - output_size),
                         (0, 0)))
-
-    out = _roi_align_levels(level_bufs, meta_i, wyx, output_size)
-    out = out.reshape(b, n, output_size, output_size, c_pad)
-    return out[..., :c]
+    return level_bufs, meta_i, wyx, c_pad, inv
 
 
 def _xla_multilevel(features, boxes, strides, output_size):

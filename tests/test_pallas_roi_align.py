@@ -34,6 +34,21 @@ def make_feats(rng, b=1, c=16, h=64, w=96):
                         .astype(np.float32)) for i in range(4)]
 
 
+def kernel_levels(boxes_flat, strides=(4, 8, 16, 32)):
+    """Level assignment the kernel actually uses: canonical FPN mapping
+    plus the aspect-overflow demotion (same formula as the prologue)."""
+    from object_detection_tracking_tpu.ops.roi_align import (
+        fpn_map_rois_to_levels)
+    lvl = np.asarray(fpn_map_rois_to_levels(boxes_flat))
+    long_side = np.maximum(boxes_flat[:, 2] - boxes_flat[:, 0],
+                           boxes_flat[:, 3] - boxes_flat[:, 1])
+    fit = float(min(RP.WIN_Y, RP.WIN_X - 7) - 2)
+    for li in range(len(strides) - 1):
+        lvl = np.where((lvl == li) & (long_side > fit * strides[li]),
+                       li + 1, lvl)
+    return np.clip(lvl, 0, len(strides) - 1)
+
+
 def test_matches_xla_for_normal_boxes():
     rng = np.random.RandomState(0)
     feats = make_feats(rng)
@@ -48,7 +63,22 @@ def test_matches_xla_for_normal_boxes():
     boxes = jnp.asarray(np.stack(
         [x0, y0, np.minimum(x0 + w, 384), np.minimum(y0 + h, 256)],
         -1)[None].astype(np.float32))
-    ref, got = run_both(feats, boxes)
+    # the kernel's contract: exact bilinear at its chosen level (canonical
+    # FPN level, or one coarser for boxes whose long side overflows the
+    # DMA window). Most normal boxes must keep the canonical level.
+    from object_detection_tracking_tpu.ops.roi_align import (
+        fpn_map_rois_to_levels)
+    flat = np.asarray(boxes.reshape(-1, 4))
+    lvl = kernel_levels(flat)
+    canonical = np.asarray(fpn_map_rois_to_levels(jnp.asarray(flat)))
+    assert (lvl == canonical).mean() >= 0.75, (lvl, canonical)
+    ref = np.asarray(jax.vmap(
+        lambda f2, f3, f4, f5, bx, lv: multilevel_roi_align(
+            [f2, f3, f4, f5], bx, (4, 8, 16, 32), 7, levels=lv))(
+        feats[0], feats[1], feats[2], feats[3], boxes,
+        jnp.asarray(lvl, jnp.int32)[None]))
+    got = np.asarray(RP.multilevel_roi_align_pallas(
+        list(feats), boxes, (4, 8, 16, 32), 7))
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 

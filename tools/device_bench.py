@@ -29,8 +29,8 @@ def main():
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--stage", default="full",
-                    choices=["pre", "backbone", "rpn", "proposals", "roi",
-                             "full"],
+                    choices=["pre", "backbone", "rpn", "proposals",
+                             "roi_pro", "roi", "full"],
                     help="time the forward PREFIX up to this stage "
                          "(cumulative; subtract successive stages)")
     args = ap.parse_args()
@@ -73,6 +73,17 @@ def main():
                 h, w))(*label_logits, *box_logits)
         if args.stage == "proposals":
             return jnp.sum(prop_boxes) + jnp.sum(prop_valid)
+        if args.stage == "roi_pro":
+            # ROIAlign XLA prologue only (no Pallas kernel): levels ready
+            # + meta + packed weights — isolates prologue vs kernel cost
+            from object_detection_tracking_tpu.ops.pallas.roi_align_pallas \
+                import _prepare_roi_align
+            cdt = jnp.dtype(cfg2.compute_dtype)
+            feats = [p.astype(cdt) for p in p23456[:4]]
+            lb, meta_i, wyx, _, inv = _prepare_roi_align(
+                feats, prop_boxes, (4, 8, 16, 32), 7, None, prop_valid)
+            return (sum(jnp.sum(x[:, -1].astype(jnp.float32)) for x in lb)
+                    + jnp.sum(meta_i) + jnp.sum(wyx) + jnp.sum(inv))
         roi_feats = model._roi_align_batched(p23456, prop_boxes, 7,
                                              valid=prop_valid)
         if args.stage == "roi":
