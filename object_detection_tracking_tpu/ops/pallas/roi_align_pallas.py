@@ -7,9 +7,16 @@ which the TPU lowers to ~50 GB/s of serialized row fetches — 168 ms for
 Design:
   * all FPN levels are packed into one zero-padded HBM buffer
     [B*L, Hmax, Wmax, C];
-  * each ROI reads one WIN_Y x WIN_X x C window via async DMA — ROIs are
-    processed in blocks of BLK with double-buffered slots so the next
-    block's DMAs overlap this block's compute;
+  * each ROI reads one window (up to WIN_Y x WIN_X x C; bucket-rounded
+    to its actual support with ODT_ROI_BUCKETS=1, see YBUCKETS) via
+    async DMA — ROIs are processed in blocks of BLK with double-buffered
+    slots so the next block's DMAs overlap this block's compute;
+  * the prologue sorts ROIs by (valid desc, level): invalid slots
+    (NMS-suppressed) compact to the tail and the pipeline's trip count
+    is DYNAMIC — only ceil(n_valid/BLK) blocks march. At realistic
+    survivor fractions this dominates: 8x1000 slots at 30% valid run
+    7.9 ms vs 17.0 with the static trip count, and the full 720p R50
+    forward dropped 54.4 -> 39.4 ms/batch (B=8);
   * the exact crop_and_resize fpcoor bilinear (sample k at
     y0 + sh*(k+0.5) - 0.5) becomes two batched matmuls with hat-function
     weight matrices W[k, r] = max(0, 1 - |sample_k - r|) masked by the
@@ -89,6 +96,34 @@ WIN_X = int(os.environ.get("ODT_ROI_WIN_X", 48))  # W offsets align to the
 # instead of only >2.8 before).
 BLK = int(os.environ.get("ODT_ROI_BLK", 4))   # ROIs per pipeline step
 NBUF = int(os.environ.get("ODT_ROI_NBUF", 2))
+# Bucketed window DMAs (ODT_ROI_BUCKETS=1, default OFF): a ROI whose
+# nonzero-weight support spans fewer rows/cols than the full window only
+# DMAs the bucket-rounded prefix of it (stale scratch beyond the prefix
+# is killed by the zero hat weights, same mechanism as invalid-ROI
+# skipping). Measured and REJECTED as the default: the kernel is
+# DMA-issue-bound, not bandwidth-bound — isolated all-valid 8x1000 ROIs
+# 17.0 -> 19.2 ms (the 3x3 predicate fan-out costs scalar-core issue
+# time), in-context full forward 40.1 vs 39.4 ms without. Kept behind
+# the env knob because the byte saving (~2.2x on p2-heavy mixes) may pay
+# on bandwidth-contended shapes. X buckets stay multiples of 8 (sublane
+# tile).
+YBUCKETS = tuple(sorted({min(24, WIN_Y), min(32, WIN_Y), WIN_Y}))
+XBUCKETS = tuple(sorted({min(24, WIN_X), min(32, WIN_X), WIN_X}))
+
+
+def _bucket_lists():
+    # CPU interpret mode evaluates every predicated DMA branch per block
+    # (~10x slower with the 3x3 bucket fan-out), so it runs the
+    # full-window single bucket; the partial-window path is covered by a
+    # forced-bucket interpret test (test_pallas_roi_align.py) and by the
+    # TPU-vs-XLA parity checks. ODT_ROI_BUCKETS=1 opts in on TPU (A/B
+    # timing knob, tools/roi_ab_bench.py; see YBUCKETS note).
+    if jax.default_backend() == "cpu" or not _USE_BUCKETS:
+        return (WIN_Y,), (WIN_X,)
+    return YBUCKETS, XBUCKETS
+
+
+_USE_BUCKETS = int(os.environ.get("ODT_ROI_BUCKETS", "0"))
 # timing-ablation switch (tools/roi_ab_bench.py only): ABLATE_MM skips
 # the contraction entirely (isolates DMA+loop cost; wrong results).
 # Historical A/B (round 3): in-kernel per-ROI weight construction was 41%
@@ -100,8 +135,9 @@ ABLATE_MM = int(os.environ.get("ODT_ROI_ABLATE_MM", "0"))
 MAX_ROIS_PER_CALL = 8192   # SMEM meta budget (36 B/roi of 1 MB)
 
 
-def _kernel(meta_i_ref, meta_b_ref, *refs,
-            n_levels: int, n_blocks: int, pool: int, c: int, exact: bool):
+def _kernel(meta_i_ref, meta_b_ref, nvb_ref, *refs,
+            n_levels: int, n_blocks: int, pool: int, c: int, exact: bool,
+            ybuckets: tuple, xbuckets: tuple):
     level_refs = refs[:n_levels]
     wyx_ref = refs[n_levels]
     out_ref = refs[n_levels + 1]
@@ -110,13 +146,13 @@ def _kernel(meta_i_ref, meta_b_ref, *refs,
     pool_pad = ((pool + 7) // 8) * 8
     precision = jax.lax.Precision.HIGHEST if exact else None
 
-    def in_dma(ref, slot, j, i):
+    def in_dma(ref, slot, j, i, ry, rx):
         xs = pl.multiple_of(meta_i_ref[2, i] * 8, 8)
         return pltpu.make_async_copy(
             ref.at[meta_i_ref[0, i],
-                   pl.ds(meta_i_ref[1, i], WIN_Y),
-                   pl.ds(xs, WIN_X), :],
-            win_scratch.at[slot, j],
+                   pl.ds(meta_i_ref[1, i], ry),
+                   pl.ds(xs, rx), :],
+            win_scratch.at[slot, j, pl.ds(0, ry), pl.ds(0, rx), :],
             in_sems.at[slot, j])
 
     def w_dma(slot, blk):
@@ -127,40 +163,52 @@ def _kernel(meta_i_ref, meta_b_ref, *refs,
             w_scratch.at[slot],
             w_sems.at[slot])
 
-    def _issue_roi(op, ref, slot, j, i):
+    def _issue_roi(op, ref, slot, j, i, ry, rx):
         # Invalid ROIs (valid=0 — NMS-suppressed slots) fire nothing and
         # are pinned to zero output by their zeroed weights.
         @pl.when(meta_i_ref[3, i] != 0)
         def _():
-            getattr(in_dma(ref, slot, j, i), op)()
+            getattr(in_dma(ref, slot, j, i, ry, rx), op)()
 
     def _issue(op, slot, blk):
         # The FPN levels stay in their NATURAL per-level HBM buffers —
         # packing them into one padded [B*L, Hmax, Wmax, C] buffer (the
         # round-2 design) cost ~1 GB of XLA relayout copies per call,
         # which a prologue-only ablation showed was the ENTIRE cost of
-        # the op. The prologue SORTS ROIs by level, so nearly every
-        # BLK-block is single-level: its source ref is picked by ONE
-        # level predicate per block (meta_b) instead of per ROI — the
-        # scalar core's per-ROI level predication was part of the
-        # ~1.1 us/ROI issue bound. Blocks straddling a level boundary
-        # (meta_b = -1; at most n_levels-1 per call) take the per-ROI
-        # fallback. Window byte counts are identical across levels so
-        # the semaphore accounting matches either way.
+        # the op. The prologue SORTS ROIs by (valid, level, y-bucket,
+        # x-bucket), so nearly every BLK-block is uniform: its source ref
+        # AND its DMA extent are picked by one predicate chain per block
+        # (meta_b rows: level / y-bucket / x-bucket) instead of per ROI —
+        # per-ROI level predication was part of the ~1.1 us/ROI issue
+        # bound, and the bucket-rounded extents cut window bytes ~2x on
+        # typical proposal mixes (stale scratch past the prefix is killed
+        # by the zero hat weights). Blocks straddling a sort boundary
+        # (meta_b[0] = -1; at most n_levels*NYB*NXB per call) take the
+        # per-ROI-level full-window fallback; all-invalid blocks carry
+        # level code n_levels and fire nothing. start/wait rebuild the
+        # same descriptor from the same scalars, so the semaphore
+        # accounting always matches.
         for li, ref in enumerate(level_refs):
-            @pl.when(meta_b_ref[blk] == li)
+            @pl.when(meta_b_ref[0, blk] == li)
             def _(ref=ref):
-                for j in range(BLK):
-                    _issue_roi(op, ref, slot, j, blk * BLK + j)
+                for yi, ry in enumerate(ybuckets):
+                    @pl.when(meta_b_ref[1, blk] == yi)
+                    def _(ry=ry):
+                        for xi, rx in enumerate(xbuckets):
+                            @pl.when(meta_b_ref[2, blk] == xi)
+                            def _(ry=ry, rx=rx):
+                                for j in range(BLK):
+                                    _issue_roi(op, ref, slot, j,
+                                               blk * BLK + j, ry, rx)
 
-        @pl.when(meta_b_ref[blk] < 0)
+        @pl.when(meta_b_ref[0, blk] < 0)
         def _():
             for j in range(BLK):
                 i = blk * BLK + j
                 for li, ref in enumerate(level_refs):
                     @pl.when(meta_i_ref[4, i] == li)
                     def _(ref=ref):
-                        _issue_roi(op, ref, slot, j, i)
+                        _issue_roi(op, ref, slot, j, i, WIN_Y, WIN_X)
 
     def start_block(slot, blk):
         _issue("start", slot, blk)
@@ -183,13 +231,24 @@ def _kernel(meta_i_ref, meta_b_ref, *refs,
     # slot 0 x finite.
     win_scratch[...] = jnp.zeros(win_scratch.shape, win_scratch.dtype)
 
-    start_block(0, 0)
+    # Dynamic trip count: the sort compacts valid ROIs to the front, so
+    # the pipeline marches only ceil(n_valid/BLK) blocks — the static-
+    # shape counterpart of the reference's dynamic NMS-survivor count
+    # flowing into CUDA ROIAlign (1000 proposal SLOTS usually hold a few
+    # hundred survivors; per-block overhead was ~9 us, so invalid blocks
+    # dominated the kernel at low survivor counts). Rows past the last
+    # valid block are never written; the XLA epilogue masks them to 0.
+    nvb = jnp.minimum(nvb_ref[0], n_blocks)
+
+    @pl.when(nvb > 0)
+    def _():
+        start_block(0, 0)
 
     def body(blk, _):
         slot = blk % NBUF
         nxt = (blk + 1) % NBUF
 
-        @pl.when(blk + 1 < n_blocks)
+        @pl.when(blk + 1 < nvb)
         def _():
             start_block(nxt, blk + 1)
 
@@ -227,14 +286,16 @@ def _kernel(meta_i_ref, meta_b_ref, *refs,
         out_dma(slot, blk).start()
         return ()
 
-    jax.lax.fori_loop(0, n_blocks, body, (), unroll=False)
-    last = n_blocks - 1
+    jax.lax.fori_loop(0, nvb, body, (), unroll=False)
+    last = nvb - 1
 
-    @pl.when(n_blocks >= 2)
+    @pl.when(nvb >= 2)
     def _():
         out_dma((last - 1) % NBUF, last - 1).wait()
 
-    out_dma(last % NBUF, last).wait()
+    @pl.when(nvb >= 1)
+    def _():
+        out_dma(last % NBUF, last).wait()
 
 
 def _pad8(x: int) -> int:
@@ -269,7 +330,8 @@ def _roi_align_levels(levels, meta_i: jnp.ndarray,
                       wyx: jnp.ndarray, pool: int) -> jnp.ndarray:
     """levels: list of [B, H_l, W_l, C] buffers (H_l >= WIN_Y, W_l >=
     WIN_X — the caller minimally pads coarse pyramid tops); meta_i
-    [5, N] int32 (image, ys, xs/8, valid, level); wyx [N, pad8(pool),
+    [6, N] int32 (image, ys, xs/8, valid, level, sort code); wyx
+    [N, pad8(pool),
     WP] precomputed interpolation weights (y block then x block along
     the last dim) -> [N, pool, pool, C]. meta_i is fields-major: SMEM
     pads the minor dim to 128 lanes, so [N, k] layouts would blow the
@@ -297,18 +359,32 @@ def _roi_align_levels(levels, meta_i: jnp.ndarray,
         meta_i = jnp.pad(meta_i, ((0, 0), (0, n_pad - n)), mode="edge")
         meta_i = meta_i.at[3, n:].set(0)
         wyx = jnp.pad(wyx, ((0, n_pad - n), (0, 0), (0, 0)))
-    # per-block level: the level shared by all BLK ROIs, or -1 for the
-    # rare straddle block (prologue sorts ROIs by level)
-    lvl_blocks = meta_i[4].reshape(n_pad // BLK, BLK)
-    uniform = jnp.all(lvl_blocks == lvl_blocks[:, :1], axis=1)
-    meta_b = jnp.where(uniform, lvl_blocks[:, 0], -1).astype(jnp.int32)
+    # per-block (level, y-bucket, x-bucket) decoded from the sort code
+    # shared by all BLK ROIs; level -1 marks the rare straddle block
+    # (prologue sorts ROIs by code, so straddles only sit at code
+    # boundaries). All-invalid blocks decode to level n_levels: no source
+    # branch matches and the block fires no window DMAs at all.
+    ybuckets, xbuckets = _bucket_lists()
+    nyb, nxb = len(ybuckets), len(xbuckets)
+    # valid ROIs are sorted to the front: the kernel marches only their
+    # blocks (dynamic trip count) and the unwritten tail is masked here
+    nvb = ((jnp.sum(meta_i[3]) + BLK - 1) // BLK).astype(jnp.int32)[None]
+    code_blocks = meta_i[5].reshape(n_pad // BLK, BLK)
+    uniform = jnp.all(code_blocks == code_blocks[:, :1], axis=1)
+    c0 = code_blocks[:, 0]
+    meta_b = jnp.stack([
+        jnp.where(uniform, c0 // (nyb * nxb), -1),
+        (c0 % (nyb * nxb)) // nxb,
+        c0 % nxb,
+    ]).astype(jnp.int32)
     dt = levels[0].dtype
     exact = dt == jnp.float32
     kernel = functools.partial(_kernel, n_levels=len(levels),
                                n_blocks=n_pad // BLK, pool=pool,
-                               c=c, exact=exact)
+                               c=c, exact=exact,
+                               ybuckets=ybuckets, xbuckets=xbuckets)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)
                   for _ in range(len(levels) + 1)],
@@ -332,7 +408,11 @@ def _roi_align_levels(levels, meta_i: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         # CPU (tests / dev boxes) can only interpret Mosaic kernels
         interpret=jax.default_backend() == "cpu",
-    )(meta_i, meta_b, *levels, wyx.astype(dt))
+    )(meta_i, meta_b, nvb, *levels, wyx.astype(dt))
+    # rows past the last valid block were never written (HBM garbage,
+    # possibly NaN bit patterns — hence where, not multiply)
+    written = jnp.arange(n_pad, dtype=jnp.int32) < nvb[0] * BLK
+    out = jnp.where(written[:, None, None, None], out, 0.0)
     return out[:n, :, :pool, :]
 
 
@@ -420,18 +500,6 @@ def _prepare_roi_align(features, boxes, strides, output_size,
     else:
         vflat = valid.reshape(b * n).astype(jnp.int32)
 
-    # Sort ROIs by level (stable — same-level ROIs keep score order):
-    # nearly every BLK-block is then single-level, so the kernel issues
-    # its window DMAs behind ONE level predicate per block, and
-    # same-level windows land adjacently for better HBM locality. The
-    # caller un-permutes the kernel output with `inv`.
-    order = jnp.argsort(lvl, stable=True)
-    inv = jnp.argsort(order)
-    lvl = lvl[order]
-    flat_boxes = flat_boxes[order]
-    img = img[order]
-    vflat = vflat[order]
-
     stride = jnp.asarray(strides, jnp.float32)[lvl]
     fb = flat_boxes / stride[:, None]
     y0, x0 = fb[:, 1], fb[:, 0]
@@ -450,8 +518,42 @@ def _prepare_roi_align(features, boxes, strides, output_size,
     h_ext_r = h_ext[lvl]
     w_ext_r = w_ext[lvl]
 
+    # Rows/cols of the window the nonzero hat weights actually touch
+    # (the last sample's ceil+1, clamped by the in-image validity rule):
+    # buckets round these up to the kernel's static DMA extents.
+    a_last_y = y0 + sh * (2.0 * output_size - 0.5) - 0.5
+    rows_need = (jnp.floor(jnp.minimum(a_last_y, h_ext_r - 1.0))
+                 + 2.0 - ys)
+    a_last_x = x0 + sw * (2.0 * output_size - 0.5) - 0.5
+    cols_need = (jnp.floor(jnp.minimum(a_last_x, w_ext_r - 1.0))
+                 + 2.0 - xs8 * 8.0)
+    ybuckets, xbuckets = _bucket_lists()
+    nyb, nxb = len(ybuckets), len(xbuckets)
+    yb = sum((rows_need > t).astype(jnp.int32) for t in ybuckets[:-1])
+    xb = sum((cols_need > t).astype(jnp.int32) for t in xbuckets[:-1])
+
+    # Sort ROIs by (valid desc, level, y-bucket, x-bucket), stable —
+    # same-code ROIs keep score order. Nearly every BLK-block is then
+    # uniform, so the kernel issues its window DMAs behind one predicate
+    # chain per block with bucket-sized extents, same-level windows land
+    # adjacently for HBM locality, and invalid ROIs compact into
+    # all-invalid blocks that fire no DMAs at all. The caller un-permutes
+    # the kernel output with `inv`.
+    code = lvl * (nyb * nxb) + yb * nxb + xb
+    code = jnp.where(vflat != 0, code, L * nyb * nxb)
+    order = jnp.argsort(code, stable=True)
+    inv = jnp.argsort(order)
+    code = code[order]
+    lvl = lvl[order]
+    img = img[order]
+    vflat = vflat[order]
+    ys, xs8 = ys[order], xs8[order]
+    y0, sh, h_ext_r = y0[order], sh[order], h_ext_r[order]
+    x0, sw, w_ext_r = x0[order], sw[order], w_ext_r[order]
+
     meta_i = jnp.stack(
-        [img, ys.astype(jnp.int32), xs8.astype(jnp.int32), vflat, lvl],
+        [img, ys.astype(jnp.int32), xs8.astype(jnp.int32), vflat, lvl,
+         code],
         axis=0)
     wy = _interp_weights(ys, y0, sh, h_ext_r, WIN_Y, output_size)
     if valid is not None:

@@ -210,6 +210,45 @@ def test_trainable_vjp_matches_xla_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
+def test_bucketed_windows_match_xla(monkeypatch):
+    """Force the TPU bucket lists in interpret mode (CPU normally runs the
+    single full-window bucket — see _bucket_lists): small-bucket ROIs that
+    reuse a VMEM slot after a bigger window leave stale rows beyond their
+    prefix, which the zero hat weights must pin out of the result. Mixes
+    levels and sizes so sorted codes DESCEND in window size across level
+    boundaries (the stale-reuse case) and marks some ROIs invalid (the
+    compaction case)."""
+    monkeypatch.setattr(RP, "_bucket_lists",
+                        lambda: (RP.YBUCKETS, RP.XBUCKETS))
+    rng = np.random.RandomState(8)
+    feats = make_feats(rng, h=256, w=384)
+    # 6 tall p2 boxes (70x150: 37 rows on the p2 grid -> 40-row bucket),
+    # 6 square p3 boxes (120x120: 15 px on the p3 grid -> 24-row bucket)
+    # -> sorted order reuses slots with shrinking windows
+    bx0 = rng.uniform(0, 300, 6)
+    by0 = rng.uniform(0, 100, 6)
+    big = np.stack([bx0, by0, bx0 + 70, by0 + 150], -1)
+    sx = rng.uniform(0, 260, 6)
+    sy = rng.uniform(0, 130, 6)
+    small = np.stack([sx, sy, sx + 120, sy + 120], -1)
+    boxes = jnp.asarray(np.concatenate([big, small])[None]
+                        .astype(np.float32))
+    flat = np.asarray(boxes.reshape(-1, 4))
+    lvl = kernel_levels(flat)
+    assert len(set(lvl.tolist())) >= 2  # really mixes levels
+    valid = jnp.asarray((np.arange(12) % 5 != 3)[None])
+    ref = np.asarray(jax.vmap(
+        lambda f2, f3, f4, f5, bx, lv: multilevel_roi_align(
+            [f2, f3, f4, f5], bx, (4, 8, 16, 32), 7, levels=lv))(
+        feats[0], feats[1], feats[2], feats[3], boxes,
+        jnp.asarray(lvl, jnp.int32)[None]))
+    got = np.asarray(RP.multilevel_roi_align_pallas(
+        list(feats), boxes, (4, 8, 16, 32), 7, valid=valid))
+    v = np.asarray(valid)
+    np.testing.assert_allclose(got[v], ref[v], atol=1e-4)
+    assert np.all(got[~v] == 0.0)
+
+
 def test_valid_skip_zeroes_invalid_and_keeps_valid_exact():
     """valid=... skips invalid ROIs' window DMAs (the kernel's bound):
     invalid slots must come back exactly 0 and valid slots bit-identical
