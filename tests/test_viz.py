@@ -93,3 +93,73 @@ def test_vis_json_cli_mask_overlay(tmp_path):
     outer = img[35:45, 45:60].astype(int)
     # the masked interior is tinted well away from the black background
     assert inner.mean() > outer.mean() + 20
+
+
+def _write_track_video(tmp_path, n_frames=3, h=48, w=64):
+    vdir = tmp_path / "videos"
+    vdir.mkdir(exist_ok=True)
+    vw = cv2.VideoWriter(str(vdir / "v.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h))
+    for _ in range(n_frames):
+        vw.write(np.zeros((h, w, 3), np.uint8))
+    vw.release()
+    (tmp_path / "videos.lst").write_text("v.mp4\n")
+    return vdir
+
+
+def test_vis_tracks_cli_multicat_global_ids(tmp_path):
+    """Reference vis_tracks.py parity: Person+Vehicle in one pass, the
+    8th MOT column is the multi-camera global id (labels g<id>),
+    --show_only_global filters local tracks, --to_video writes an mp4."""
+    from object_detection_tracking_tpu.cli import vis_tracks
+
+    vdir = _write_track_video(tmp_path)
+    # frame 0: a global Person track (gid 7) + a local Vehicle track
+    for cat, rows in {
+        "Person": "0,1,5,5,10,20,1,7,-1,-1\n1,1,6,5,10,20,1,7,-1,-1\n",
+        "Vehicle": "0,2,30,20,20,12,0.8,-1,-1,-1\n",
+    }.items():
+        d = tmp_path / "tracks" / "v" / cat
+        d.mkdir(parents=True)
+        (d / "v.txt").write_text(rows)
+
+    out = tmp_path / "vis"
+    vis_tracks.main([str(tmp_path / "videos.lst"),
+                     "--video_dir", str(vdir),
+                     "--trackpath", str(tmp_path / "tracks"),
+                     "--cat_name", "Person,Vehicle",
+                     "--despath", str(out)])
+    frames = sorted(os.listdir(out / "v"))
+    assert len(frames) == 2  # frames 0 and 1 carry tracks
+    img0 = cv2.imread(str(out / "v" / frames[0]))
+    # both category boxes drew something in their regions
+    assert img0[5:25, 5:15].sum() > 0 and img0[20:32, 30:50].sum() > 0
+
+    # --show_only_global drops the local Vehicle row on frame 0
+    out2 = tmp_path / "vis_g"
+    vis_tracks.main([str(tmp_path / "videos.lst"),
+                     "--video_dir", str(vdir),
+                     "--trackpath", str(tmp_path / "tracks"),
+                     "--cat_name", "Person,Vehicle",
+                     "--despath", str(out2), "--show_only_global"])
+    g0 = cv2.imread(str(out2 / "v" / sorted(os.listdir(out2 / "v"))[0]))
+    assert g0[5:25, 5:15].sum() > 100        # global Person kept
+    # local Vehicle dropped: its box interior stays (codec-noise) black
+    assert g0[22:30, 32:48].sum() < 50 < img0[22:30, 32:48].sum()
+
+    # --to_video emits a readable mp4 at --video_size with ALL frames
+    outv = tmp_path / "vism"
+    vis_tracks.main([str(tmp_path / "videos.lst"),
+                     "--video_dir", str(vdir),
+                     "--trackpath", str(tmp_path / "tracks"),
+                     "--cat_name", "Person",
+                     "--despath", str(outv), "--to_video",
+                     "--video_size", "128x96"])
+    cap = cv2.VideoCapture(str(outv / "v.mp4"))
+    n, shape = 0, None
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        n, shape = n + 1, f.shape
+    assert n == 3 and shape == (96, 128, 3)
