@@ -292,35 +292,60 @@ class FasterRCNNFPN:
         box_logits = [jax.lax.stop_gradient(x) for x in box_logits]
         topk_per_level = (cfg.rpn_train_post_nms_topk if cfg.is_train
                           else cfg.rpn_test_post_nms_topk)
-        all_boxes, all_scores, all_valid = [], [], []
+        kk = topk_per_level
+        lvl_boxes, lvl_scores, lvl_valid = [], [], []
         for lvl in range(cfg.num_levels):
-            field = jnp.asarray(fields[lvl])          # [FH, FW, A, 4]
+            field = jnp.asarray(fields[lvl]).reshape(-1, 4)
             vmask = jnp.asarray(valids[lvl]).reshape(-1)
             scores = label_logits[lvl].reshape(-1).astype(jnp.float32)
             deltas = box_logits[lvl].reshape(-1, 4).astype(jnp.float32)
-            boxes = decode_boxes(deltas, field.reshape(-1, 4),
-                                 cfg.bbox_decode_clip)
             n_l = scores.shape[0]
-            k_l = min(topk_per_level, n_l)
+            k_l = min(kk, n_l)
             masked = jnp.where(vmask, scores, -1e30)
-            top_scores, top_idx = jax.lax.top_k(masked, k_l)
-            top_boxes = clip_boxes(boxes[top_idx], (h, w))
+            # top-k BEFORE decode: only the k survivors' deltas are
+            # decoded/clipped (was all 235k anchors at 720p, ~1 ms/batch).
+            # Big levels use TPU approx_max_k (see config.rpn_topk_recall).
+            if cfg.rpn_topk_recall < 1.0 and n_l > 4 * k_l:
+                top_scores, top_idx = jax.lax.approx_max_k(
+                    masked, k_l, recall_target=cfg.rpn_topk_recall)
+            else:
+                top_scores, top_idx = jax.lax.top_k(masked, k_l)
+            top_boxes = decode_boxes(deltas[top_idx], field[top_idx],
+                                     cfg.bbox_decode_clip)
+            top_boxes = clip_boxes(top_boxes, (h, w))
             top_valid = vmask[top_idx]
             wb = top_boxes[:, 2] - top_boxes[:, 0]
             hb = top_boxes[:, 3] - top_boxes[:, 1]
             top_valid &= (wb > cfg.rpn_min_size) & (hb > cfg.rpn_min_size)
-            sel, sel_valid = nms(top_boxes, top_scores, k_l,
-                                 cfg.rpn_proposal_nms_thres, valid=top_valid)
-            sel_c = jnp.maximum(sel, 0)
-            all_boxes.append(jnp.where(sel_valid[:, None],
-                                       top_boxes[sel_c], 0.0))
-            all_scores.append(jnp.where(sel_valid, top_scores[sel_c], -1e30))
-            all_valid.append(sel_valid)
+            if k_l < kk:  # tiny pyramid tops: pad to a common K so the
+                # per-level NMS batches into ONE fixpoint loop below
+                top_boxes = jnp.pad(top_boxes, ((0, kk - k_l), (0, 0)))
+                top_scores = jnp.pad(top_scores, (0, kk - k_l),
+                                     constant_values=-1e30)
+                top_valid = jnp.pad(top_valid, (0, kk - k_l))
+            lvl_boxes.append(top_boxes)
+            lvl_scores.append(top_scores)
+            lvl_valid.append(top_valid)
 
-        boxes = jnp.concatenate(all_boxes, axis=0)
-        scores = jnp.concatenate(all_scores, axis=0)
-        valid = jnp.concatenate(all_valid, axis=0)
-        k = min(topk_per_level, boxes.shape[0])
+        # one batched NMS over [L, K] instead of L sequential fixpoint
+        # loops: the Jacobi iterations of all levels share each VPU step
+        # (measured ~2x on the proposals stage at 720p B=8)
+        boxes_lk = jnp.stack(lvl_boxes)
+        scores_lk = jnp.stack(lvl_scores)
+        valid_lk = jnp.stack(lvl_valid)
+        sel, sel_valid = jax.vmap(
+            lambda b, s, v: nms(b, s, kk, cfg.rpn_proposal_nms_thres,
+                                valid=v))(boxes_lk, scores_lk, valid_lk)
+        sel_c = jnp.maximum(sel, 0)
+        boxes = jnp.where(
+            sel_valid[..., None],
+            jnp.take_along_axis(boxes_lk, sel_c[..., None], axis=1),
+            0.0).reshape(-1, 4)
+        scores = jnp.where(
+            sel_valid, jnp.take_along_axis(scores_lk, sel_c, axis=1),
+            -1e30).reshape(-1)
+        valid = sel_valid.reshape(-1)
+        k = min(kk, boxes.shape[0])
         top_scores, top_idx = jax.lax.top_k(scores, k)
         return boxes[top_idx], valid[top_idx]
 
