@@ -1,0 +1,113 @@
+"""Measure packed-artifact cold-start: pack -> NEW process -> first batch.
+
+The reference ships frozen .pb graphs for +30% runtime and fast startup
+(models.py:134-191, SPEED.md:65-66). The XLA-native equivalent here is
+``cli.main pack`` (params.npz + config.json + forward.jaxexport) plus the
+persistent compile cache. This tool quantifies the claim, timing the first
+inference batch in a FRESH python process under three regimes:
+
+  fresh    — no compile cache: load pack, trace-free jax.export call,
+             XLA still compiles the StableHLO for this backend;
+  warm     — persistent compile cache populated: load pack, the compile
+             step is a disk hit;
+  live     — no pack: rebuild the model Python, jit, compile from scratch
+             (what a non-packed deployment pays).
+
+Usage: python tools/pack_coldstart.py [--short_edge 360] [--out json]
+Writes one JSON line; record the numbers in COMPONENTS.md.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, ".")
+t0 = time.time()
+import numpy as np
+regime = sys.argv[1]
+pack_dir = sys.argv[2]
+hw = json.loads(sys.argv[3])
+if regime == "warm":
+    from object_detection_tracking_tpu.runtime import enable_persistent_cache
+    enable_persistent_cache(os.environ["ODT_COLD_CACHE"])
+img = np.random.RandomState(0).randint(
+    0, 255, (1, hw[0], hw[1], 3), np.uint8)
+t_load0 = time.time()
+if regime == "live":
+    from object_detection_tracking_tpu.cli.main import get_args, build
+    from object_detection_tracking_tpu.utils.weights import load_npz_tree
+    import jax
+    a = get_args(json.loads(sys.argv[4]))
+    cfg, model = build(a, is_train=False)
+    params = load_npz_tree(os.path.join(pack_dir, "params.npz"))
+    fn = jax.jit(model.forward)
+else:
+    from object_detection_tracking_tpu.runtime.aot import load_packed
+    cfg, params, fn = load_packed(pack_dir)
+t_first0 = time.time()
+out = fn(params, img)
+float(np.asarray(out["final_boxes"]).sum())  # force readback
+t_done = time.time()
+print(json.dumps({"regime": regime,
+                  "import_load_s": round(t_first0 - t0, 2),
+                  "first_batch_s": round(t_done - t_first0, 2),
+                  "total_s": round(t_done - t0, 2)}))
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--short_edge", type=int, default=360)
+    ap.add_argument("--max_size", type=int, default=640)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="odt_cold_")
+    cache = os.path.join(tmp, "xla_cache")
+    pack_argv = [
+        "pack", "--outbasepath", tmp, "--modelname", "cold",
+        "--version", "2", "--num_class", "4",
+        "--short_edge_size", str(args.short_edge),
+        "--max_size", str(args.max_size),
+        "--rpn_test_post_nms_topk", "300", "--result_per_im", "100"]
+    from object_detection_tracking_tpu.cli import main as driver
+    t0 = time.time()
+    driver.main(pack_argv)
+    pack_s = time.time() - t0
+    pack_dir = os.path.join(tmp, "cold", "packed")
+
+    env = dict(os.environ, ODT_COLD_CACHE=cache)
+    hw = json.dumps([args.short_edge, args.max_size])
+    live_argv = json.dumps(["forward", "--load_from", "x"] + pack_argv[1:])
+
+    def child(regime):
+        p = subprocess.run(
+            [sys.executable, "-c", CHILD, regime, pack_dir, hw, live_argv],
+            capture_output=True, text=True, env=env, timeout=900)
+        assert p.returncode == 0, p.stderr[-2000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    results = {"pack_s": round(pack_s, 2)}
+    results["fresh"] = child("fresh")
+    results["warm_populate"] = child("warm")   # fills the cache
+    results["warm"] = child("warm")            # measures the hit
+    results["live"] = child("live")
+    line = json.dumps(results)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
