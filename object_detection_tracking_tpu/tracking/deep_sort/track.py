@@ -1,72 +1,112 @@
-"""Track state machine (reference deep_sort/track.py)."""
+"""Deep SORT track lifecycle.
+
+Behavioral parity with the reference's track state machine
+(deep_sort/track.py:4-166): a track is born Tentative, promotes to
+Confirmed after ``n_init`` consecutive hits, and dies on its first miss
+while Tentative or after ``max_age`` consecutive misses once Confirmed.
+Box geometry lives in the Kalman state as (center-x, center-y, aspect,
+height) + velocities; this class only converts formats and advances the
+lifecycle counters — the tracker drives the (batched) Kalman math.
+"""
 
 from __future__ import annotations
 
-from typing import List
+import enum
+from typing import List, Optional
 
 import numpy as np
 
 
-class TrackState:
+class TrackState(enum.IntEnum):
     Tentative = 1
     Confirmed = 2
     Deleted = 3
 
 
 class Track:
-    """Single target with Kalman state (cx, cy, a, h, velocities)."""
+    """One tracked target: Kalman state + lifecycle counters.
 
-    def __init__(self, mean, covariance, track_id: int, n_init: int,
-                 max_age: int, feature=None):
+    Attributes the tracker reads/writes directly: ``mean`` /
+    ``covariance`` (rewritten wholesale by the batched predict),
+    ``features`` (appearance gallery staging, drained into the metric
+    each frame), ``age`` / ``time_since_update`` (incremented by the
+    batched predict), ``hits``, ``track_id``.
+    """
+
+    __slots__ = ("mean", "covariance", "track_id", "hits", "age",
+                 "time_since_update", "state", "features",
+                 "_n_init", "_max_age")
+
+    def __init__(self, mean: np.ndarray, covariance: np.ndarray,
+                 track_id: int, n_init: int, max_age: int,
+                 feature: Optional[np.ndarray] = None):
         self.mean = mean
         self.covariance = covariance
         self.track_id = track_id
+        self._n_init = n_init
+        self._max_age = max_age
         self.hits = 1
         self.age = 1
         self.time_since_update = 0
+        # Always born Tentative — even with n_init=1 a track confirms on
+        # its first *update*, not at creation (the CLI's fresh-track
+        # output path depends on this one-frame lag).
         self.state = TrackState.Tentative
         self.features: List[np.ndarray] = []
         if feature is not None:
             self.features.append(np.asarray(feature, np.float32))
-        self._n_init = n_init
-        self._max_age = max_age
+
+    # -- geometry ------------------------------------------------------
 
     def to_tlwh(self) -> np.ndarray:
-        ret = self.mean[:4].copy()
-        ret[2] *= ret[3]          # a*h -> w
-        ret[:2] -= ret[2:] / 2
-        return ret
+        """Current state as (top-left-x, top-left-y, width, height)."""
+        cx, cy, aspect, h = self.mean[:4]
+        w = aspect * h
+        return np.asarray([cx - 0.5 * w, cy - 0.5 * h, w, h])
 
     def to_tlbr(self) -> np.ndarray:
-        ret = self.to_tlwh()
-        ret[2:] = ret[:2] + ret[2:]
-        return ret
+        """Current state as (x1, y1, x2, y2)."""
+        x, y, w, h = self.to_tlwh()
+        return np.asarray([x, y, x + w, y + h])
 
-    def predict(self, kf):
+    # -- lifecycle -----------------------------------------------------
+
+    def predict(self, kf) -> None:
+        """Single-track motion step. The tracker normally advances all
+        tracks with one batched ``kf.multi_predict``; this exists for
+        callers stepping one track in isolation."""
         self.mean, self.covariance = kf.predict(self.mean, self.covariance)
         self.age += 1
         self.time_since_update += 1
 
-    def update(self, kf, detection):
+    def update(self, kf, detection) -> None:
+        """Fold a matched detection into the Kalman state, stage its
+        appearance feature, and promote Tentative -> Confirmed once the
+        hit streak reaches ``n_init``."""
         self.mean, self.covariance = kf.update(
             self.mean, self.covariance, detection.to_xyah())
         self.features.append(detection.feature)
         self.hits += 1
         self.time_since_update = 0
-        if self.state == TrackState.Tentative and self.hits >= self._n_init:
+        if self.state is TrackState.Tentative and self.hits >= self._n_init:
             self.state = TrackState.Confirmed
 
-    def mark_missed(self):
-        if self.state == TrackState.Tentative:
+    def mark_missed(self) -> None:
+        """Called when no detection matched this frame: an unconfirmed
+        track dies immediately; a confirmed one survives ``max_age``
+        consecutive misses."""
+        dead = (self.state is TrackState.Tentative
+                or self.time_since_update > self._max_age)
+        if dead:
             self.state = TrackState.Deleted
-        elif self.time_since_update > self._max_age:
-            self.state = TrackState.Deleted
 
-    def is_tentative(self):
-        return self.state == TrackState.Tentative
+    # -- predicates ----------------------------------------------------
 
-    def is_confirmed(self):
-        return self.state == TrackState.Confirmed
+    def is_tentative(self) -> bool:
+        return self.state is TrackState.Tentative
 
-    def is_deleted(self):
-        return self.state == TrackState.Deleted
+    def is_confirmed(self) -> bool:
+        return self.state is TrackState.Confirmed
+
+    def is_deleted(self) -> bool:
+        return self.state is TrackState.Deleted
