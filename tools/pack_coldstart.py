@@ -58,7 +58,8 @@ out = fn(params, img)
 float(np.asarray(out["final_boxes"]).sum())  # force readback
 t_done = time.time()
 print(json.dumps({"regime": regime,
-                  "import_load_s": round(t_first0 - t0, 2),
+                  "import_s": round(t_load0 - t0, 2),
+                  "load_s": round(t_first0 - t_load0, 2),
                   "first_batch_s": round(t_done - t_first0, 2),
                   "total_s": round(t_done - t0, 2)}))
 """
@@ -69,6 +70,9 @@ def main():
     ap.add_argument("--short_edge", type=int, default=360)
     ap.add_argument("--max_size", type=int, default=640)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="children per regime; medians are reported "
+                         "(backend wall-clock varies up to 3x)")
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="odt_cold_")
@@ -85,7 +89,11 @@ def main():
     pack_s = time.time() - t0
     pack_dir = os.path.join(tmp, "cold", "packed")
 
+    # non-warm regimes must be genuinely cold: drop any ambient jax
+    # compile-cache config the parent session may carry
     env = dict(os.environ, ODT_COLD_CACHE=cache)
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    env.pop("ODT_COMPILE_CACHE", None)
     hw = json.dumps([args.short_edge, args.max_size])
     live_argv = json.dumps(["forward", "--load_from", "x"] + pack_argv[1:])
 
@@ -93,14 +101,23 @@ def main():
         p = subprocess.run(
             [sys.executable, "-c", CHILD, regime, pack_dir, hw, live_argv],
             capture_output=True, text=True, env=env, timeout=900)
-        assert p.returncode == 0, p.stderr[-2000:]
+        if p.returncode != 0:
+            raise RuntimeError(f"{regime} child rc={p.returncode}: "
+                               f"{p.stderr[-2000:]}")
         return json.loads(p.stdout.strip().splitlines()[-1])
 
+    def median_of(regime, n):
+        runs = sorted((child(regime) for _ in range(n)),
+                      key=lambda r: r["total_s"])
+        med = dict(runs[len(runs) // 2])
+        med["total_s_all"] = [r["total_s"] for r in runs]
+        return med
+
     results = {"pack_s": round(pack_s, 2)}
-    results["fresh"] = child("fresh")
+    results["fresh"] = median_of("fresh", args.repeats)
     results["warm_populate"] = child("warm")   # fills the cache
-    results["warm"] = child("warm")            # measures the hit
-    results["live"] = child("live")
+    results["warm"] = median_of("warm", args.repeats)
+    results["live"] = median_of("live", args.repeats)
     line = json.dumps(results)
     print(line)
     if args.out:
