@@ -310,18 +310,34 @@ def main():
             run_video(warm_path, track=False)
             truns = []
             tdets = trows = 0
-            for _ in range(3):
+            errors = []
+            # the shared backend behind the tunnel occasionally restarts
+            # the worker mid-pass (r03 lost its artifact to one such
+            # "worker crashed or restarted"); per-pass isolation keeps
+            # every completed pass
+            for _ in range(5):
+                if len(truns) >= 3:
+                    break
                 t0 = time.time()
-                tn, tdets, trows = run_video(bench_path, track=True)
+                try:
+                    tn, tdets, trows = run_video(bench_path, track=True)
+                except Exception as e:
+                    errors.append(f"{type(e).__name__}: {e}")
+                    continue
                 truns.append(time.time() - t0)
-            t_elapsed = sorted(truns)[1]
+            if not truns:
+                raise RuntimeError("; ".join(errors[-2:]))
+            t_elapsed = sorted(truns)[len(truns) // 2]
             trained = {
                 "x_realtime_trained": round(
                     tn * FRAME_GAP / FPS / t_elapsed, 3),
+                "trained_wall_s_all": [round(t, 2) for t in truns],
                 "trained_steps": int(tsteps),
                 "trained_dets_per_frame": round(tdets / max(tn, 1), 2),
                 "trained_track_rows": int(trows),
             }
+            if errors:
+                trained["trained_pass_errors"] = errors
         except Exception as e:  # never lose the headline JSON line
             trained = {"trained_error": f"{type(e).__name__}: {e}"}
         runner = main_runner
