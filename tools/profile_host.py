@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--seconds", type=int, default=16,
                     help="bench video length (48 = the full bench)")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--depth", type=int, default=2)
     ap.add_argument("--trained", action="store_true",
                     help="use the cached trained checkpoint if present")
     args = ap.parse_args()
@@ -67,7 +68,7 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0))
     if args.trained:
         params, _ = ensure_trained_params(tmp, params)
-    runner = DetectionRunner(model, params, depth=2)
+    runner = DetectionRunner(model, params, depth=args.depth)
     classid2name = cfg.classid2name
     coco_map = dict(coco_obj_to_actev_obj)
 
