@@ -106,9 +106,14 @@ def ensure_trained_params(tmp, infer_params, steps=450, batch=4):
 
     ckpt_dir = os.path.join(tmp, "trained_r50", "save")
     latest = latest_ckpt(ckpt_dir)
+    resume_state = None
     if latest:
         params, _, step = load_ckpt(latest, infer_params)
-        return params, step
+        if step >= steps:
+            return params, step
+        # partial checkpoint (an earlier bench run was cut off mid-train
+        # by the backend/timeout): resume instead of restarting
+        resume_state = (params, step)
 
     t0 = time.time()
     lst, frames, anno = make_train_scenes(os.path.join(tmp, "train_scenes"))
@@ -121,12 +126,16 @@ def ensure_trained_params(tmp, infer_params, steps=450, batch=4):
     tcfg = TrainConfig(optimizer="momentum", init_lr=0.01, momentum=0.9,
                        warmup_steps=100, warmup_init_lr=0.001,
                        total_steps=steps, clip_gradient_norm=10.0)
-    params = model.init_params(jax.random.PRNGKey(0))
+    if resume_state is not None:
+        params, step = resume_state
+        print(f"bench-train resuming from step {step}", file=sys.stderr)
+    else:
+        params = model.init_params(jax.random.PRNGKey(0))
+        step = 0
     mesh = make_mesh(n_data=jax.local_device_count(), n_model=1)
     trainer = Trainer(model, tcfg, mesh=mesh)
     state, step_fn = make_sharded_train_step(trainer, params, mesh)
     rng = jax.random.PRNGKey(1)
-    step = 0
     with mesh:
         for b in ds.batches(10 ** 6):
             images, gt_boxes, gt_labels, gt_valid = b[:4]
@@ -138,6 +147,10 @@ def ensure_trained_params(tmp, infer_params, steps=450, batch=4):
                 print(f"bench-train step {step}/{steps} "
                       f"loss {float(losses['total_loss']):.3f}",
                       file=sys.stderr)
+                # periodic save: a timeout/backend loss costs at most
+                # 100 steps, the next run resumes (params only — fresh
+                # optimizer moments are fine for this bench detector)
+                save_ckpt(ckpt_dir, state, step)
             if step >= steps:
                 break
     save_ckpt(ckpt_dir, state, step)
@@ -179,6 +192,7 @@ def main():
     if not os.path.exists(bench_path):
         make_video(bench_path, BENCH_SECONDS * FPS, fps=FPS)
 
+    t_import = time.time() - t_setup  # imports + axon backend init
     cfg = DetectorConfig.coco_partial(
         resnet_depth=50, short_edge_size=720, max_size=1280)
     model = get_model(cfg, "faster_rcnn")
@@ -221,7 +235,11 @@ def main():
         return n, n_dets, rows
 
     # warmup (compiles both full and last-batch shapes)
+    t0 = time.time()
     run_video(warm_path, track=False)
+    t_warm = time.time() - t0  # dominated by compile; the persistent
+    #                            cache (enable_persistent_cache) makes
+    #                            repeat runs hit instead of recompile
     setup_s = time.time() - t_setup
 
     # measure the host->device tunnel under current load so the end-to-end
@@ -355,7 +373,13 @@ def main():
             "wall_s_median": round(elapsed, 2),
             "wall_s_all": [round(r[0], 2) for r in runs],
             "fps_processed": round(processed / elapsed, 2),
+            # setup split (VERDICT r3 weak #8): import_s = python imports
+            # + axon backend init (tunnel-dependent); warmup_s = first
+            # compile+run of both batch shapes — near-zero when the
+            # persistent compile cache hits, minutes when cold.
             "setup_s": round(setup_s, 1),
+            "setup_import_s": round(t_import, 1),
+            "setup_warmup_s": round(t_warm, 1),
             # zero-egress env: no pretrained checkpoints exist. The
             # headline number runs random weights for round-to-round
             # comparability; x_realtime_trained below is the same

@@ -126,6 +126,14 @@ class DetectorConfig:
     # "pallas": window-DMA kernel, ~4x faster, exact for aspect <= ~2.8
     # (ops/pallas/roi_align_pallas.py); "xla": exact reference gather
     roi_align_impl: str = "pallas"
+    # ROIAlign impl inside the TRAIN step. Defaults to the exact XLA
+    # gather: the Pallas forward compiled INTO the fused 720p train graph
+    # faults this backend's TPU worker at step 0 (bisected round 4 — the
+    # identical standalone call passes the full tools/roi_stress.py sweep,
+    # and the same train step with "xla" runs at ~0.2 s/step, so the
+    # kernel is ~3% of a train step and not worth the risk). "pallas"
+    # re-enables the custom-VJP wrapper for backends without the fault.
+    roi_align_train_impl: str = "xla"
     # which model family get_model builds by default
     model: str = "faster_rcnn"
     # EfficientDet variant when model="efficientdet"

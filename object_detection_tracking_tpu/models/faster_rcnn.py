@@ -458,9 +458,18 @@ class FasterRCNNFPN:
         mirroring the reference's dynamic NMS-survivor count flowing into
         ROIAlign (nn.py:1390-1398)."""
         cfg = self.config
-        if cfg.roi_align_impl == "pallas":
+        # Which impl serves this call: training defaults to the exact XLA
+        # gather even when roi_align_impl="pallas" — the Pallas forward
+        # compiled into the fused train graph faults this backend's TPU
+        # worker at step 0 (bisected round 4: same call passes the
+        # standalone tools/roi_stress.py sweep; config.roi_align_train_impl
+        # = "pallas" re-enables the custom-VJP wrapper elsewhere).
+        impl = cfg.roi_align_impl
+        if cfg.is_train and impl == "pallas":
+            impl = getattr(cfg, "roi_align_train_impl", "xla")
+        if impl == "pallas":
             if cfg.is_train:
-                # custom-VJP wrapper: Pallas forward, XLA scatter backward
+                # custom VJP: Pallas forward, XLA scatter backward
                 from ..ops.pallas.roi_align_pallas import (
                     multilevel_roi_align_trainable)
                 return multilevel_roi_align_trainable(
