@@ -31,7 +31,8 @@ from ..data import VideoEnqueuer, open_video
 from ..models import get_model
 from ..runtime import DetectionRunner, PerformanceLogger
 from ..tracking.deep_sort import (Tracker, create_obj_infos, det_level_nms,
-                                  filter_short_objs, linear_inter_bbox)
+                                  filter_short_objs, linear_inter_bbox,
+                                  link_tracklets)
 from ..tracking.deep_sort.nn_matching import NearestNeighborDistanceMetric
 from ..utils.weights import load_weights
 
@@ -110,7 +111,23 @@ def get_args(argv=None):
     parser.add_argument("--max_cosine_distance", type=float, default=0.5)
     parser.add_argument("--max_iou_distance", type=float, default=0.5)
     parser.add_argument("--nn_budget", type=int, default=5)
+    parser.add_argument("--track_n_init", type=int, default=1,
+                        help="frames before a new track confirms "
+                        "(reference hardcodes 1, deep_sort/tracker.py:40; "
+                        "3 = the Deep SORT paper default — during "
+                        "occlusion crossings it lets the established "
+                        "track reclaim its detection instead of a "
+                        "day-old duplicate keeping the id, and unoutput "
+                        "tentative tracks suppress 1-2 frame spurious "
+                        "detections)")
     parser.add_argument("--nms_max_overlap", type=float, default=0.85)
+    parser.add_argument("--link_tracklets", type=float, default=None,
+                        help="offline tracklet linking (both trackers): "
+                        "after the video, merge track ids whose spans are "
+                        "temporally disjoint and whose whole-life mean "
+                        "appearance is within this cosine distance "
+                        "(utils.link_tracklets; first-party extension, "
+                        "off by default for reference parity)")
     # misc
     parser.add_argument("--use_lijun_video_loader", action="store_true",
                         help="use the PyAV frame-accurate decoder")
@@ -205,8 +222,9 @@ def process_video(args, cfg, runner, video_path, classid2name,
         else:
             metric = NearestNeighborDistanceMetric(
                 "cosine", args.max_cosine_distance, args.nn_budget)
-            trackers[obj] = Tracker(metric,
-                                    max_iou_distance=args.max_iou_distance)
+            trackers[obj] = Tracker(
+                metric, max_iou_distance=args.max_iou_distance,
+                n_init=getattr(args, "track_n_init", 1))
         results[obj] = []
         tentative_buf[obj] = {}
 
@@ -301,6 +319,11 @@ def process_video(args, cfg, runner, video_path, classid2name,
             os.makedirs(out_dir, exist_ok=True)
             rows = sorted(results[obj], key=lambda r: (r[0], r[1]))
             data = np.asarray(rows, np.float32).reshape(-1, 6)
+            link_dist = getattr(args, "link_tracklets", None)
+            if link_dist is not None:
+                data = link_tracklets(
+                    data, trackers[obj].feature_archive(),
+                    max_feat_dist=link_dist)
             data = linear_inter_bbox(data, args.frame_gap)
             data = filter_short_objs(data)
             with open(os.path.join(out_dir, f"{videoname}.txt"), "w") as fw:

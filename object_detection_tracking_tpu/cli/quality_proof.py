@@ -46,6 +46,13 @@ def get_args(argv=None):
                    help="hard scene statistics (VERDICT r2 weak #4): 4x+ "
                         "scale spread, crowded spawns, partial occlusion, "
                         "8 objects max")
+    p.add_argument("--video_domain", action="store_true",
+                   help="train/eval on mp4-roundtripped video frames "
+                        "instead of crisp stills (the tracking proof's "
+                        "scoring domain; VERDICT r3 weak #5 — a stills-"
+                        "trained detector misclassifies on codec-lossy "
+                        "frames). Incompatible with --add_mask (video gt "
+                        "is box-level).")
     p.add_argument("--detector", default="rcnn",
                    help="'rcnn' (R18-FPN) or an efficientdet name "
                         "(e.g. efficientdet-d0) — proves the EffDet "
@@ -65,22 +72,49 @@ def main(argv=None):
     train_dir = os.path.join(args.workdir, "train")
     val_dir = os.path.join(args.workdir, "val")
     hw = (args.image_size, args.image_size)
-    gen_kw = {}
-    if args.hard:
-        gen_kw = dict(size_range=(max(args.image_size // 16, 8),
-                                  args.image_size // 3),
-                      crowding=0.35, overlap_iou=0.45, max_objects=8)
-    train_lst = generate_dataset(train_dir, args.train_images,
-                                 image_hw=hw, seed=0, prefix="tr", **gen_kw)
-    val_lst = generate_dataset(val_dir, args.val_images,
-                               image_hw=hw, seed=777, prefix="va", **gen_kw)
+    if args.video_domain:
+        assert not args.add_mask, "--video_domain has box-level gt only"
+        from ..data.synthetic import generate_video_dataset
+        vd_kw = dict(size_range=(max(args.image_size // 16, 8),
+                                 args.image_size // 3)) if args.hard else {}
+        # Diversity matters more than frame count: each clip has FIXED
+        # per-object size/color, so sample few frames from MANY clips
+        # (a 3-clip val made one hard instance dominate Person AP).
+        # Training mixes codec-domain video frames with crisp stills
+        # (stills carry per-instance shape/color variety).
+        n_vid = args.train_images // 2
+        vid_lst = generate_video_dataset(
+            train_dir, n_vid, image_hw=hw, seed=0, prefix="trv",
+            frames_per_video=24, sample_every=3, **vd_kw)
+        still_lst = generate_dataset(
+            train_dir, args.train_images - n_vid, image_hw=hw, seed=1,
+            prefix="tr")
+        train_lst = os.path.join(train_dir, "mixed.lst")
+        with open(train_lst, "w") as f:
+            f.write(open(vid_lst).read() + open(still_lst).read())
+        val_lst = generate_video_dataset(
+            val_dir, args.val_images, image_hw=hw, seed=777,
+            prefix="va", frames_per_video=12, sample_every=6, **vd_kw)
+    else:
+        gen_kw = {}
+        if args.hard:
+            gen_kw = dict(size_range=(max(args.image_size // 16, 8),
+                                      args.image_size // 3),
+                          crowding=0.35, overlap_iou=0.45, max_objects=8)
+        train_lst = generate_dataset(train_dir, args.train_images,
+                                     image_hw=hw, seed=0, prefix="tr",
+                                     **gen_kw)
+        val_lst = generate_dataset(val_dir, args.val_images,
+                                   image_hw=hw, seed=777, prefix="va",
+                                   **gen_kw)
     print(f"generated {args.train_images}+{args.val_images} images "
           f"in {time.time() - t0:.0f}s")
 
     is_effdet = args.detector.startswith("efficientdet")
     steps_per_epoch = max(1, args.train_images // args.batch_size)
     epochs = max(1, -(-args.steps // steps_per_epoch))
-    run_name = "quality_effdet" if is_effdet else "quality_r18"
+    run_name = ("quality_effdet" if is_effdet else "quality_r18") + \
+        ("_vid" if args.video_domain else "")
     train_args = driver.get_args([
         "train",
         "--trainlst", train_lst,
@@ -180,6 +214,7 @@ def main(argv=None):
         "val_images": args.val_images,
         "image_size": args.image_size,
         "hard": args.hard,
+        "video_domain": args.video_domain,
         "mask_iou": None if mask_iou is None else round(mask_iou, 4),
         "min_mask_iou": args.min_mask_iou if args.add_mask else None,
         "model": (args.detector + " (from scratch, synthetic shapes)"

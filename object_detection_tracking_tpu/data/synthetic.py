@@ -172,6 +172,64 @@ def _iou(a, b) -> float:
     return inter / float(area_a + area_b - inter)
 
 
+def generate_video_dataset(out_dir: str, num_images: int,
+                           image_hw=(160, 160), seed: int = 0,
+                           prefix: str = "vf", num_objects: int = 5,
+                           size_range=None, frames_per_video: int = 40,
+                           sample_every: int = 2) -> str:
+    """Detection dataset whose frames went through the VIDEO codec.
+
+    The moving-shapes proof video is mp4-encoded (lossy DCT blocks +
+    4:2:0 chroma subsampling); a detector trained on crisp stills sees a
+    different domain and misclassifies heavily on it (measured: Person
+    emitted at 0.99 on a Vehicle — TRACK_QUALITY r3 Person FP pileup,
+    VERDICT r3 weak #5). This generator renders short videos with
+    ``generate_video``'s own renderer, round-trips them through the SAME
+    mp4 codec, and emits sampled decoded frames + generator boxes as a
+    training dataset — the tracking detector then trains in the domain
+    it is scored in, exactly like the reference trains on decoded video
+    frames of VIRAT (reference README.md:216, train on v1-train frames).
+
+    Returns the .lst path (same layout as ``generate_dataset``; no masks
+    — the video gt is box-level)."""
+    if cv2 is None:
+        raise RuntimeError("cv2 required")
+    frames_dir = os.path.join(out_dir, "frames")
+    annos_dir = os.path.join(out_dir, "anno")
+    os.makedirs(frames_dir, exist_ok=True)
+    os.makedirs(annos_dir, exist_ok=True)
+    names = []
+    vid = 0
+    while len(names) < num_images:
+        vdir = os.path.join(out_dir, "_clips", f"v{vid:03d}")
+        n_obj = 2 + (vid % max(num_objects - 1, 1))
+        path, gt = generate_video(
+            vdir, num_frames=frames_per_video, image_hw=image_hw,
+            num_objects=n_obj, seed=seed + 7919 * vid,
+            size_range=size_range)
+        cap = cv2.VideoCapture(path)
+        fi = 0
+        while len(names) < num_images:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if fi % sample_every == 0 and fi in gt:
+                name = f"{prefix}_{vid:03d}_{fi:04d}"
+                cv2.imwrite(os.path.join(frames_dir, name + ".png"), frame)
+                boxes = np.asarray([b for _, b, _ in gt[fi]], np.float32)
+                labels = np.asarray([c for _, _, c in gt[fi]])
+                np.savez(os.path.join(annos_dir, name + ".npz"),
+                         boxes=boxes.reshape(-1, 4), labels=labels)
+                names.append(name)
+            fi += 1
+        cap.release()
+        vid += 1
+    lst = os.path.join(out_dir, f"{prefix}.lst")
+    with open(lst, "w") as f:
+        f.write("\n".join(names) + "\n")
+    return lst
+
+
 def generate_video(out_dir: str, num_frames: int = 150, image_hw=(160, 160),
                    num_objects: int = 4, fps: int = 30, seed: int = 0,
                    size_range=None, speed_range=(0.8, 2.2)):

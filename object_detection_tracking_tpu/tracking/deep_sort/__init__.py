@@ -9,4 +9,4 @@ filter in tracking/kalman.py and on-device-pooled appearance embeddings.
 from .detection import Detection  # noqa: F401
 from .tracker import Tracker  # noqa: F401
 from .utils import (create_obj_infos, det_level_nms,  # noqa: F401
-                    filter_short_objs, linear_inter_bbox)
+                    filter_short_objs, linear_inter_bbox, link_tracklets)

@@ -35,7 +35,7 @@ class Track:
 
     __slots__ = ("mean", "covariance", "track_id", "hits", "age",
                  "time_since_update", "state", "features",
-                 "_n_init", "_max_age")
+                 "feat_sum", "feat_n", "_n_init", "_max_age")
 
     def __init__(self, mean: np.ndarray, covariance: np.ndarray,
                  track_id: int, n_init: int, max_age: int,
@@ -53,8 +53,16 @@ class Track:
         # output path depends on this one-frame lag).
         self.state = TrackState.Tentative
         self.features: List[np.ndarray] = []
+        # running mean appearance over the track's whole life — the
+        # gallery (``features``) is drained into the metric every frame,
+        # so offline tracklet linking needs its own accumulator
+        self.feat_sum: Optional[np.ndarray] = None
+        self.feat_n = 0
         if feature is not None:
-            self.features.append(np.asarray(feature, np.float32))
+            feature = np.asarray(feature, np.float32)
+            self.features.append(feature)
+            self.feat_sum = feature.copy()
+            self.feat_n = 1
 
     # -- geometry ------------------------------------------------------
 
@@ -86,6 +94,12 @@ class Track:
         self.mean, self.covariance = kf.update(
             self.mean, self.covariance, detection.to_xyah())
         self.features.append(detection.feature)
+        feat = np.asarray(detection.feature, np.float32)
+        if self.feat_sum is None:
+            self.feat_sum = feat.copy()
+        else:
+            self.feat_sum += feat
+        self.feat_n += 1
         self.hits += 1
         self.time_since_update = 0
         if self.state is TrackState.Tentative and self.hits >= self._n_init:

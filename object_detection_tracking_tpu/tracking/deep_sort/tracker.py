@@ -22,6 +22,9 @@ class Tracker:
         self.n_init = n_init
         self.kf = KalmanFilter()
         self.tracks: List[Track] = []
+        # {track_id: mean appearance feature} of finished tracks, kept
+        # for offline tracklet linking (utils.link_tracklets)
+        self.archive = {}
         self._next_id = 1
 
     def predict(self):
@@ -47,6 +50,9 @@ class Tracker:
             self.tracks[tidx].mark_missed()
         for didx in unmatched_dets:
             self._initiate_track(detections[didx])
+        for t in self.tracks:
+            if t.is_deleted():
+                self._archive(t)
         self.tracks = [t for t in self.tracks if not t.is_deleted()]
 
         # refresh the appearance gallery
@@ -104,6 +110,20 @@ class Tracker:
 
         return (matches_a + matches_b, unmatched_a + unmatched_b,
                 unmatched_dets)
+
+    def _archive(self, track) -> None:
+        """Record a finished track's identity summary for offline
+        tracklet linking (utils.link_tracklets): mean appearance over
+        its matched detections + its span endpoints."""
+        if track.feat_sum is not None and track.feat_n > 0:
+            self.archive[track.track_id] = track.feat_sum / track.feat_n
+
+    def feature_archive(self):
+        """{track_id: mean appearance feature} over ALL tracks this
+        tracker has ever confirmed (dead tracks included)."""
+        for t in self.tracks:
+            self._archive(t)
+        return dict(self.archive)
 
     def _initiate_track(self, detection):
         mean, cov = self.kf.initiate(detection.to_xyah())

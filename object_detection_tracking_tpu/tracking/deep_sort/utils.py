@@ -115,6 +115,117 @@ def linear_inter_bbox(track_data: np.ndarray,
     return out[np.lexsort((out[:, 1], out[:, 0]))]
 
 
+def link_tracklets(track_data: np.ndarray, id_feats: Dict[int, np.ndarray],
+                   max_gap: int = 40, max_feat_dist: float = 0.3,
+                   max_speed: float = 1.0) -> np.ndarray:
+    """Offline tracklet linking: heal id breaks after the video ends.
+
+    An occlusion can shift the detector's box abruptly enough to fail
+    both the Mahalanobis gate and the IOU stage for one frame; online
+    Deep SORT then spawns a duplicate track that wins the matching
+    cascade forever after (lower time_since_update = higher cascade
+    priority), permanently splitting the identity. Online revival was
+    measured to fight the cascade (id churn on active tracks); linking
+    the finished tracklets offline — the StrongSORT/AFLink recipe — is
+    strictly safer because full spans and whole-life appearance means
+    are known. The reference has no equivalent (its interpolation pass,
+    deep_sort/utils.py:48-91, only fills gaps *within* an id); this is
+    a first-party extension, opt-in via --link_tracklets.
+
+    The unit of linking is the contiguous SEGMENT, not the whole id: an
+    id whose rows have an internal gap > 10 frames is split first. This
+    heals the interleaved pattern online trackers produce — track A
+    loses the object, track B covers it for a while, then A re-activates
+    and steals it back (A's whole-id span then overlaps B's, so whole-id
+    linking can never merge them; A's two segments and B's one chain
+    fine). Same-id segments re-link to themselves at appearance
+    distance 0, so the split is a no-op for ids that were never stolen
+    from.
+
+    track_data rows: [frame, id, x, y, w, h] (MOT-style). id_feats:
+    {track_id: mean appearance feature} from Tracker.feature_archive().
+    A pair (a ends, b starts) is linkable when b starts 1..max_gap
+    frames after a ends, the cosine distance of their ids' mean
+    appearances is <= max_feat_dist, and the implied straight-line speed
+    across the gap is <= max_speed box-diagonals/frame (objects can
+    bounce, so no velocity extrapolation — just a teleport guard).
+    Pairs are linked greedily by ascending appearance distance; chains
+    compose; each chain takes its root segment's id. Rows that would
+    duplicate a (frame, id) pair after relabeling are dropped."""
+    if track_data.shape[0] == 0:
+        return track_data
+    seg_split = 10
+    ids = track_data[:, 1].astype(np.int64)
+    feats = {}
+    for tid in np.unique(ids):
+        feat = id_feats.get(int(tid))
+        if feat is not None:
+            n = np.linalg.norm(feat)
+            feat = feat / n if n > 0 else None
+        feats[int(tid)] = feat
+    segs = []        # dicts: tid, f0, f1, b0, b1, rows (row indices)
+    order = np.lexsort((track_data[:, 0],))
+    for tid in np.unique(ids):
+        ridx = order[ids[order] == tid]
+        frames = track_data[ridx, 0]
+        cut = np.flatnonzero(np.diff(frames) > seg_split)
+        for lo, hi in zip(np.r_[0, cut + 1], np.r_[cut, len(ridx) - 1]):
+            segs.append(dict(
+                tid=int(tid), rows=ridx[lo:hi + 1],
+                f0=int(frames[lo]), f1=int(frames[hi]),
+                b0=track_data[ridx[lo], 2:6], b1=track_data[ridx[hi], 2:6]))
+    cands = []
+    for i, a in enumerate(segs):
+        fa = feats[a["tid"]]
+        if fa is None:
+            continue
+        for j, b in enumerate(segs):
+            fb = feats[b["tid"]]
+            if j == i or fb is None:
+                continue
+            gap = b["f0"] - a["f1"]
+            if not (1 <= gap <= max_gap):
+                continue
+            fdist = 0.0 if a["tid"] == b["tid"] \
+                else 1.0 - float(np.dot(fa, fb))
+            if fdist > max_feat_dist:
+                continue
+            ca = a["b1"][:2] + 0.5 * a["b1"][2:4]
+            cb = b["b0"][:2] + 0.5 * b["b0"][2:4]
+            diag = float(np.hypot(*a["b1"][2:4]))
+            if np.hypot(*(cb - ca)) > max_speed * max(gap, 1) * diag:
+                continue
+            cands.append((fdist, i, j))
+    # greedy: each segment links to at most one successor/predecessor
+    cands.sort()
+    succ_used, pred_used, parent = set(), set(), {}
+    for _, i, j in cands:
+        if i in succ_used or j in pred_used:
+            continue
+        succ_used.add(i)
+        pred_used.add(j)
+        parent[j] = i
+
+    def root(s):
+        while s in parent:
+            s = parent[s]
+        return s
+
+    new_id = np.empty(track_data.shape[0], np.int64)
+    for i, seg in enumerate(segs):
+        new_id[seg["rows"]] = segs[root(i)]["tid"]
+    if np.array_equal(new_id, ids):
+        return track_data
+    out = track_data.copy()
+    out[:, 1] = new_id
+    out = out[np.lexsort((out[:, 1], out[:, 0]))]
+    # safety: chains are temporally disjoint by construction, but two
+    # unlinked same-id chains could in principle collide — keep first
+    _, keep = np.unique(out[:, :2].astype(np.int64), axis=0,
+                        return_index=True)
+    return out[np.sort(keep)]
+
+
 def filter_short_objs(track_data: np.ndarray,
                       min_frames: int = 2) -> np.ndarray:
     """Drop track ids observed in fewer than ``min_frames`` frames

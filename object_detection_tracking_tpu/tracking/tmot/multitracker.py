@@ -42,6 +42,11 @@ class STrack:
         self.alpha = alpha
         self.smooth_feat: Optional[np.ndarray] = None
         self.curr_feat: Optional[np.ndarray] = None
+        # whole-life mean appearance for offline tracklet linking
+        # (deep_sort.utils.link_tracklets) — the EMA smooth_feat forgets
+        # the pre-occlusion appearance with alpha=0.9 in ~10 frames
+        self.feat_sum: Optional[np.ndarray] = None
+        self.feat_n = 0
         self.update_features(np.asarray(feat, np.float64))
         self.cur_det_tlwh = np.asarray(tlwh, np.float64)
         self.cur_det_conf = float(score)
@@ -53,6 +58,9 @@ class STrack:
     def update_features(self, feat: np.ndarray):
         feat = feat / max(np.linalg.norm(feat), 1e-12)
         self.curr_feat = feat
+        self.feat_sum = feat.copy() if self.feat_sum is None \
+            else self.feat_sum + feat
+        self.feat_n += 1
         if self.smooth_feat is None:
             self.smooth_feat = feat
         else:
@@ -280,3 +288,15 @@ class JDETracker:
             self.tracked_stracks, self.lost_stracks)
 
         return [t for t in self.tracked_stracks if t.is_activated]
+
+    def feature_archive(self):
+        """{track_id: whole-life mean appearance} over every track this
+        tracker ever assigned an id (live, lost, and removed), for
+        offline tracklet linking — same contract as
+        deep_sort.Tracker.feature_archive."""
+        out = {}
+        for t in (self.tracked_stracks + self.lost_stracks
+                  + self.removed_stracks):
+            if t.track_id > 0 and t.feat_n > 0:
+                out[t.track_id] = t.feat_sum / t.feat_n
+        return out

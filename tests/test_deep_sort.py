@@ -194,3 +194,78 @@ def test_nn_metric_segmented_min_matches_loop():
     for i, t in enumerate(targets):
         ref = _cosine_distance(np.asarray(metric.samples[t]), feats).min(0)
         np.testing.assert_allclose(got[i], ref, rtol=1e-5, atol=1e-6)
+
+
+def test_link_tracklets_merges_split_identity():
+    from object_detection_tracking_tpu.tracking.deep_sort import (
+        link_tracklets)
+    # id 1 spans frames 0-9, id 5 spans 13-20 nearby with the same
+    # appearance -> one identity; id 9 overlaps id 1 in time -> untouched
+    rows = []
+    for f in range(10):
+        rows.append([f, 1, 10 + 2 * f, 30, 20, 40])
+    for f in range(13, 21):
+        rows.append([f, 5, 10 + 2 * f, 30, 20, 40])
+    for f in range(0, 21):
+        rows.append([f, 9, 100, 100, 20, 40])
+    data = np.asarray(rows, np.float32)
+    fa = np.zeros(8, np.float32); fa[0] = 1
+    fb = np.zeros(8, np.float32); fb[1] = 1
+    out = link_tracklets(data, {1: fa, 5: fa * 3.0, 9: fb},
+                         max_gap=10, max_feat_dist=0.2)
+    ids = set(out[:, 1].astype(int))
+    assert ids == {1, 9}
+    merged = out[out[:, 1] == 1]
+    assert merged[:, 0].min() == 0 and merged[:, 0].max() == 20
+
+
+def test_link_tracklets_respects_gates():
+    from object_detection_tracking_tpu.tracking.deep_sort import (
+        link_tracklets)
+    rows = ([[f, 1, 10, 30, 20, 40] for f in range(5)]
+            + [[f, 2, 12, 30, 20, 40] for f in range(8, 12)])
+    data = np.asarray(rows, np.float32)
+    fa = np.zeros(8, np.float32); fa[0] = 1
+    fb = np.zeros(8, np.float32); fb[1] = 1
+    # different appearance -> no link
+    out = link_tracklets(data, {1: fa, 2: fb}, max_feat_dist=0.3)
+    assert set(out[:, 1].astype(int)) == {1, 2}
+    # same appearance but teleport (gap 3, 500 px) -> motion gate blocks
+    far = data.copy(); far[far[:, 1] == 2, 2] += 500
+    out = link_tracklets(far, {1: fa, 2: fa}, max_feat_dist=0.3,
+                         max_speed=1.0)
+    assert set(out[:, 1].astype(int)) == {1, 2}
+    # gap beyond max_gap -> no link
+    out = link_tracklets(data, {1: fa, 2: fa}, max_gap=2,
+                         max_feat_dist=0.3)
+    assert set(out[:, 1].astype(int)) == {1, 2}
+    # missing feature -> no link
+    out = link_tracklets(data, {1: fa}, max_feat_dist=0.3)
+    assert set(out[:, 1].astype(int)) == {1, 2}
+
+
+def test_link_tracklets_chains_compose():
+    from object_detection_tracking_tpu.tracking.deep_sort import (
+        link_tracklets)
+    rows = ([[f, 1, 10 + f, 30, 20, 40] for f in range(4)]
+            + [[f, 2, 10 + f, 30, 20, 40] for f in range(6, 10)]
+            + [[f, 3, 10 + f, 30, 20, 40] for f in range(12, 16)])
+    data = np.asarray(rows, np.float32)
+    fa = np.zeros(8, np.float32); fa[0] = 1
+    out = link_tracklets(data, {1: fa, 2: fa, 3: fa}, max_feat_dist=0.2)
+    assert set(out[:, 1].astype(int)) == {1}
+
+
+def test_feature_archive_means_whole_life():
+    metric = NearestNeighborDistanceMetric("cosine", 0.5, budget=2)
+    tracker = Tracker(metric, n_init=1)
+    f0 = np.zeros(4, np.float32); f0[0] = 1
+    f1 = np.zeros(4, np.float32); f1[1] = 1
+    tracker.predict()
+    tracker.update([Detection([10, 30, 20, 40], 0.9, f0)])
+    tracker.predict()
+    tracker.update([Detection([12, 30, 20, 40], 0.9, f1)])
+    arch = tracker.feature_archive()
+    # frame 1 initiates with f0, frame 2's update folds in f1 -> mean
+    np.testing.assert_allclose(arch[1], np.array([1, 1, 0, 0]) / 2.0,
+                               atol=1e-6)

@@ -76,3 +76,22 @@ def test_jde_reset():
     for step in range(2):
         tr.update([det(10, 30)])
     assert tr.tracked_stracks[0].track_id == 1  # id counter reset
+
+
+def test_feature_archive_covers_all_assigned_ids():
+    from object_detection_tracking_tpu.tracking.tmot import JDETracker
+    import numpy as np
+    tr = JDETracker(conf_thres=0.5, frame_gap=1)
+    fa = np.zeros(8); fa[0] = 1
+    fb = np.zeros(8); fb[1] = 1
+    # two objects for several frames, then one disappears long enough
+    # to be removed — its id must still be in the archive
+    for f in range(4):
+        tr.update([((10 + 2 * f, 10, 5, 10), 0.9, fa),
+                   ((50, 50, 5, 10), 0.9, fb)])
+    for f in range(140):
+        tr.update([((18 + 2 * f, 10, 5, 10), 0.9, fa)])
+    arch = tr.feature_archive()
+    assert set(arch.keys()) == {1, 2}
+    # archived means are whole-life normalized-feature means
+    np.testing.assert_allclose(arch[2], fb / np.linalg.norm(fb), atol=1e-9)
