@@ -159,8 +159,50 @@ def ensure_trained_params(tmp, infer_params, steps=450, batch=4):
     return params, step
 
 
+def _wait_for_tunnel(budget_s=720):
+    """The axon tunnel occasionally wedges for 10-30 min (CLAUDE.md): a
+    compute round-trip hangs with ~zero CPU while jax.devices() still
+    lists the chip. Probe with a killable subprocess before committing
+    to the measurement, and wait out a wedge up to budget_s so a driver
+    bench capture that lands mid-wedge reports the cause (or recovers)
+    instead of timing out with no diagnosis."""
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp;"
+             "x = jnp.ones((128, 128));"
+             "print(float((x @ x).sum()))")
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run([sys.executable, "-c", probe], timeout=90,
+                           check=True, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            if attempt > 1:
+                print(f"tunnel recovered after {time.time() - t0:.0f}s "
+                      f"({attempt} probes)", file=sys.stderr)
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            waited = time.time() - t0
+            if waited > budget_s:
+                return False
+            print(f"tunnel wedged (probe {attempt}, {waited:.0f}s); "
+                  "waiting...", file=sys.stderr)
+            time.sleep(45)
+
+
 def main():
     t_setup = time.time()
+    if not _wait_for_tunnel():
+        print(json.dumps({
+            "metric": "det+track x-realtime per chip (1280x720, R50-FPN "
+                      "FasterRCNN partial-COCO + DeepSORT, frame_gap 8)",
+            "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
+            "detail": {"error": "axon tunnel wedged: compute round-trip "
+                                "hung >12 min (known backend failure "
+                                "mode, CLAUDE.md); no measurement was "
+                                "possible this capture"}}))
+        return
     import jax
     from object_detection_tracking_tpu.config import DetectorConfig
     from object_detection_tracking_tpu.data import VideoEnqueuer, open_video
