@@ -34,7 +34,12 @@ def get_args(argv=None):
     p.add_argument("--image_size", type=int, default=160)
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--batch_size", type=int, default=8)
-    p.add_argument("--init_lr", type=float, default=0.01)
+    p.add_argument("--init_lr", type=float, default=None,
+                   help="default 0.01 (momentum, rcnn) / 1e-3 (adam, "
+                        "efficientdet) — adam at the momentum default "
+                        "diverges on the from-scratch EffDet (r04: "
+                        "AP/AR 0.0 after 1500 steps vs AR 0.38 after "
+                        "40, i.e. training blew up mid-run)")
     p.add_argument("--min_ap", type=float, default=0.8)
     p.add_argument("--add_mask", action="store_true",
                    help="also train the Mask-RCNN head and gate on mean "
@@ -130,7 +135,8 @@ def main(argv=None):
         "--freeze", "-1",
         "--num_epochs", str(epochs),
         "--im_batch_size", str(args.batch_size),
-        "--init_lr", str(args.init_lr),
+        "--init_lr", str(args.init_lr if args.init_lr is not None
+                         else (1e-3 if is_effdet else 0.01)),
         "--warmup_steps", "100",
         "--clip_gradient_norm", "10",
         "--save_every", str(args.steps),

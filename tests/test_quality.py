@@ -76,8 +76,12 @@ def _check_fresh(result, path):
     from object_detection_tracking_tpu.utils.source_hash import (
         quality_tree_hash)
     recorded = result.get("tree_hash")
-    if recorded is None:
-        return  # pre-guard artifact (<= r02); next regeneration adds it
+    # VERDICT r3 weak #4: an artifact without a tree_hash predates the
+    # guard and must be regenerated — returning here would grandfather
+    # exactly the artifacts the guard was added to protect.
+    assert recorded is not None, (
+        f"{os.path.basename(path)} predates the drift guard (no "
+        "tree_hash); regenerate it with the quality-proof CLI.")
     current = quality_tree_hash()
     assert recorded == current, (
         f"{os.path.basename(path)} is STALE: produced at source tree "
@@ -135,8 +139,23 @@ def test_tracking_and_mask_artifacts_in_repo_are_passing():
         for key in ("deep_sort", "tmot"):
             assert t[key]["passed"], key
             _check_fresh(t[key], tq)
+            # per-class gate (VERDICT r3 weak #5): every class must clear
+            # the recorded floor — aggregate MOTA must not carry a
+            # failing class (Person FP pileup was masked this way in r02)
+            floor = t[key].get("min_class_mota")
+            assert floor is not None, (
+                f"{key}: artifact has no per-class MOTA floor; re-run "
+                "track_quality_proof (it gates per class by default now)")
+            for cls, m in t[key]["per_class"].items():
+                assert m["mota"] >= floor, (
+                    f"{key}/{cls}: MOTA {m['mota']} < {floor}")
     mq = _latest_artifact(root, "QUALITY_MASK")
     if mq:
         m = json.load(open(mq))
         assert m["passed"] and m["mask_iou"] >= 0.6
         _check_fresh(m, mq)
+    eq = _latest_artifact(root, "QUALITY_EFFDET")
+    if eq:
+        e = json.load(open(eq))
+        assert e["passed"], "EffDet quality artifact records a failing run"
+        _check_fresh(e, eq)
