@@ -177,31 +177,38 @@ def _wait_for_tunnel(budget_s=720):
         try:
             subprocess.run([sys.executable, "-c", probe], timeout=90,
                            check=True, stdout=subprocess.DEVNULL,
-                           stderr=subprocess.DEVNULL)
+                           stderr=subprocess.PIPE)
             if attempt > 1:
                 print(f"tunnel recovered after {time.time() - t0:.0f}s "
                       f"({attempt} probes)", file=sys.stderr)
-            return True
-        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            return None
+        except subprocess.TimeoutExpired:
             waited = time.time() - t0
             if waited > budget_s:
-                return False
+                return ("axon tunnel wedged: compute round-trip hung "
+                        ">12 min (known backend failure mode, CLAUDE.md); "
+                        "no measurement was possible this capture")
             print(f"tunnel wedged (probe {attempt}, {waited:.0f}s); "
                   "waiting...", file=sys.stderr)
             time.sleep(45)
+        except subprocess.CalledProcessError as e:
+            # a genuine probe crash (import error, OOM, driver fault) is
+            # NOT a wedge — retrying identically would burn the budget and
+            # then mislabel the cause (ADVICE r4)
+            err = (e.stderr or b"").decode(errors="replace").strip()
+            return ("probe process failed (rc=%d), not a tunnel wedge: %s"
+                    % (e.returncode, err[-400:] or "<no stderr>"))
 
 
 def main():
     t_setup = time.time()
-    if not _wait_for_tunnel():
+    probe_error = _wait_for_tunnel()
+    if probe_error is not None:
         print(json.dumps({
             "metric": "det+track x-realtime per chip (1280x720, R50-FPN "
                       "FasterRCNN partial-COCO + DeepSORT, frame_gap 8)",
             "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
-            "detail": {"error": "axon tunnel wedged: compute round-trip "
-                                "hung >12 min (known backend failure "
-                                "mode, CLAUDE.md); no measurement was "
-                                "possible this capture"}}))
+            "detail": {"error": probe_error}}))
         return
     import jax
     from object_detection_tracking_tpu.config import DetectorConfig

@@ -241,6 +241,17 @@ def process_video(args, cfg, runner, video_path, classid2name,
                         prefetch=args.prefetch, pad_last_batch=True,
                         pixel_format=pixel_format)
 
+    if args.test_frame_extraction:
+        # decode-only parity check (reference skips sess.run entirely,
+        # obj_detect_tracking.py:599-602): drain the enqueuer and compare
+        # sampled count against the container metadata
+        n = 0
+        for _, _, frame_idxs in enq.get():
+            n += sum(1 for fi in frame_idxs if fi >= 0)
+        print("video %s got %s frames, loader said frame count is %s"
+              % (videoname, enq.frames_read, vcap.num_frames))
+        return n
+
     def batch_iter():
         for imgs, scale, frame_idxs in enq.get():
             frames = imgs if args.visualize else None
@@ -323,7 +334,7 @@ def process_video(args, cfg, runner, video_path, classid2name,
             if link_dist is not None:
                 data = link_tracklets(
                     data, trackers[obj].feature_archive(),
-                    max_feat_dist=link_dist)
+                    max_feat_dist=link_dist, frame_gap=args.frame_gap)
             data = linear_inter_bbox(data, args.frame_gap)
             data = filter_short_objs(data)
             with open(os.path.join(out_dir, f"{videoname}.txt"), "w") as fw:
@@ -331,9 +342,6 @@ def process_video(args, cfg, runner, video_path, classid2name,
                     fw.write("%d,%d,%.2f,%.2f,%.2f,%.2f,1,-1,-1,-1\n"
                              % (r[0], r[1], r[2], r[3], r[4], r[5]))
 
-    if args.test_frame_extraction:
-        print("video %s got %s frames, loader said frame count is %s"
-              % (videoname, enq.frames_read, vcap.num_frames))
     return frames_done
 
 
@@ -387,26 +395,29 @@ def main(argv=None):
     from ..runtime.aot import enable_persistent_cache
     enable_persistent_cache()
     cfg = build_config(args)
-    model = get_model(
-        cfg, "efficientdet" if args.is_efficientdet else "faster_rcnn")
-    import jax
-    if args.model_path:
-        params = load_weights(args.model_path, model)
-    else:
-        print("warning: no --model_path, using random weights",
-              file=sys.stderr)
-        params = model.init_params(jax.random.PRNGKey(0))
-    mesh = None
-    n_dev = jax.local_device_count()
-    if n_dev > 1 and args.im_batch_size % n_dev == 0:
-        # fan the frame batch out over every chip (one sharded jit; the
-        # reference ran N independent single-GPU processes instead)
-        from ..parallel import make_mesh
-        mesh = make_mesh(n_data=n_dev, n_model=1)
-        print(f"inference sharded over {n_dev} chips")
-    runner = DetectionRunner(model, params,
-                             emb_agg=args.emb_agg_method, mesh=mesh,
-                             ship_full_feat=args.get_box_feat)
+    runner = None
+    if not args.test_frame_extraction:
+        model = get_model(
+            cfg, "efficientdet" if args.is_efficientdet else "faster_rcnn")
+        import jax
+        if args.model_path:
+            params = load_weights(args.model_path, model)
+        else:
+            print("warning: no --model_path, using random weights",
+                  file=sys.stderr)
+            params = model.init_params(jax.random.PRNGKey(0))
+        mesh = None
+        n_dev = jax.local_device_count()
+        if n_dev > 1 and args.im_batch_size % n_dev == 0:
+            # fan the frame batch out over every chip (one sharded jit;
+            # the reference ran N independent single-GPU processes
+            # instead)
+            from ..parallel import make_mesh
+            mesh = make_mesh(n_data=n_dev, n_model=1)
+            print(f"inference sharded over {n_dev} chips")
+        runner = DetectionRunner(model, params,
+                                 emb_agg=args.emb_agg_method, mesh=mesh,
+                                 ship_full_feat=args.get_box_feat)
     if args.get_box_feat:
         assert args.box_feat_path is not None, \
             "--get_box_feat needs --box_feat_path" 

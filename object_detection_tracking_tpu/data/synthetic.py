@@ -201,6 +201,7 @@ def generate_video_dataset(out_dir: str, num_images: int,
     names = []
     vid = 0
     while len(names) < num_images:
+        n_before = len(names)
         vdir = os.path.join(out_dir, "_clips", f"v{vid:03d}")
         n_obj = 2 + (vid % max(num_objects - 1, 1))
         path, gt = generate_video(
@@ -223,6 +224,15 @@ def generate_video_dataset(out_dir: str, num_images: int,
                 names.append(name)
             fi += 1
         cap.release()
+        if len(names) == n_before:
+            # a clip that contributes zero sampled frames would otherwise
+            # loop forever (e.g. sample_every > frames_per_video, or gt
+            # missing every sampled index) — fail loudly instead
+            raise RuntimeError(
+                f"clip v{vid:03d} yielded no sampled frames "
+                f"(frames_per_video={frames_per_video}, "
+                f"sample_every={sample_every}); dataset generation "
+                "cannot make progress")
         vid += 1
     lst = os.path.join(out_dir, f"{prefix}.lst")
     with open(lst, "w") as f:

@@ -117,7 +117,7 @@ def linear_inter_bbox(track_data: np.ndarray,
 
 def link_tracklets(track_data: np.ndarray, id_feats: Dict[int, np.ndarray],
                    max_gap: int = 40, max_feat_dist: float = 0.3,
-                   max_speed: float = 1.0) -> np.ndarray:
+                   max_speed: float = 1.0, frame_gap: int = 1) -> np.ndarray:
     """Offline tracklet linking: heal id breaks after the video ends.
 
     An occlusion can shift the detector's box abruptly enough to fail
@@ -151,10 +151,18 @@ def link_tracklets(track_data: np.ndarray, id_feats: Dict[int, np.ndarray],
     bounce, so no velocity extrapolation — just a teleport guard).
     Pairs are linked greedily by ascending appearance distance; chains
     compose; each chain takes its root segment's id. Rows that would
-    duplicate a (frame, id) pair after relabeling are dropped."""
+    duplicate a (frame, id) pair after relabeling are dropped.
+
+    ``frame_gap``: detection stride of the caller (rows are frame_gap
+    frames apart). seg_split and max_gap are defined in *detection
+    steps* and scaled here — without this, frame_gap > seg_split made
+    every row its own segment (O(n^2) candidate pairs + per-row greedy
+    linking; ADVICE r4)."""
     if track_data.shape[0] == 0:
         return track_data
-    seg_split = 10
+    frame_gap = max(int(frame_gap), 1)
+    seg_split = 10 * frame_gap
+    max_gap = max_gap * frame_gap
     ids = track_data[:, 1].astype(np.int64)
     feats = {}
     for tid in np.unique(ids):

@@ -256,6 +256,23 @@ def test_link_tracklets_chains_compose():
     assert set(out[:, 1].astype(int)) == {1}
 
 
+def test_link_tracklets_scales_with_frame_gap():
+    """ADVICE r4: rows emitted every frame_gap frames must not be split
+    into per-row segments (seg_split/max_gap are in detection steps)."""
+    from object_detection_tracking_tpu.tracking.deep_sort import (
+        link_tracklets)
+    f = np.zeros(8, np.float32); f[0] = 1
+    rows = ([[t, 1, 10 + t, 10, 20, 40] for t in range(0, 80, 8)]
+            + [[t, 2, 10 + t, 10, 20, 40] for t in range(120, 168, 8)])
+    data = np.asarray(rows, np.float32)
+    # gap is 48 frames = 6 detection steps: linkable at frame_gap=8
+    out = link_tracklets(data, {1: f, 2: f}, frame_gap=8, max_speed=5.0)
+    assert set(out[:, 1].astype(int)) == {1}
+    # ... but NOT at frame_gap=1 (48 > max_gap 40)
+    out = link_tracklets(data, {1: f, 2: f}, frame_gap=1, max_speed=5.0)
+    assert set(out[:, 1].astype(int)) == {1, 2}
+
+
 def test_feature_archive_means_whole_life():
     metric = NearestNeighborDistanceMetric("cosine", 0.5, budget=2)
     tracker = Tracker(metric, n_init=1)
