@@ -71,7 +71,13 @@ def get_args(argv=None):
 def main(argv=None):
     args = get_args(argv)
     from ..data.synthetic import generate_dataset
+    from ..runtime import enable_persistent_cache
     from . import main as driver
+
+    # mode_train is called directly below (driver.main() is bypassed), so
+    # enable the compile cache here too — proof reruns at an unchanged
+    # tree otherwise recompile the whole train step
+    enable_persistent_cache()
 
     t0 = time.time()
     train_dir = os.path.join(args.workdir, "train")
