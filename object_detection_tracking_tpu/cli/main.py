@@ -387,6 +387,13 @@ def mode_train(args):
                     save_ckpt(checkpoint_dir(args, best=True), state, step)
             if step >= total_steps:
                 break
+    if hasattr(model, "calibrate_bn"):
+        # EffDet trains with batch-stat BN; write precise-BN population
+        # stats into the params before the final save so eval/inference
+        # checkpoints are self-contained
+        params = jax.device_get(state["params"])
+        model.calibrate_bn(params, (b[0] for b in ds.batches(1)))
+        state = {**state, "params": params}
     save_ckpt(checkpoint_dir(args), state, step)
     print("done; best AP", best_ap)
 

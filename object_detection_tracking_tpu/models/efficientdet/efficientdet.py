@@ -181,7 +181,7 @@ class EfficientDet:
         x = jnp.pad(x, ((0, 0), (0, s - h), (0, s - w), (0, 0)))
         return x.astype(jnp.dtype(self.config.compute_dtype))
 
-    def _bifpn_cell(self, cell, feats: List[jnp.ndarray]):
+    def _bifpn_cell(self, cell, feats: List[jnp.ndarray], bn=frozen_bn):
         """feats: P3..P7 (ids 0..4); returns new P3..P7. Cell-0 inputs may
         carry raw backbone channels — each fnode's lazy 1x1+bn (reference
         resample_feature_map: conv BEFORE the spatial resample) fixes them.
@@ -197,7 +197,7 @@ class EfficientDet:
                 rkey = f"resample_{idx}_{off}_{5 + ni}"
                 if rkey in p:
                     rp = p[rkey]
-                    n = frozen_bn(rp["bn"], conv2d(rp, n))
+                    n = bn(rp["bn"], conv2d(rp, n))
                 if n.shape[1] > target:       # downsample by 2
                     n = max_pool(n, 3, 2, padding=((1, 0), (1, 0)))
                 elif n.shape[1] < target:     # upsample by 2
@@ -212,12 +212,12 @@ class EfficientDet:
                 fused = sum(resampled)
             fused = swish(fused)
             out = _sep_conv(p, fused)
-            out = frozen_bn(p["bn"], out)
+            out = bn(p["bn"], out)
             nodes.append(out)
         # output node ids: P3''=8, P4''=9, P5''=10, P6''=11, P7''=12
         return [nodes[8], nodes[9], nodes[10], nodes[11], nodes[12]]
 
-    def _heads(self, params, feats):
+    def _heads(self, params, feats, bn=frozen_bn):
         cls_outs, box_outs = [], []
         for li, f in enumerate(feats):
             lvl = MIN_LEVEL + li
@@ -226,7 +226,7 @@ class EfficientDet:
             for i in range(self.head_repeats):
                 orig = x
                 x = _sep_conv(hp[f"conv{i}"], x)
-                x = swish(frozen_bn(hp[f"bn{i}_l{lvl}"], x))
+                x = swish(bn(hp[f"bn{i}_l{lvl}"], x))
                 if i > 0:
                     x = x + orig
             cls_outs.append(_sep_conv(hp["predict"], x))
@@ -235,7 +235,7 @@ class EfficientDet:
             for i in range(self.head_repeats):
                 orig = x
                 x = _sep_conv(hp[f"conv{i}"], x)
-                x = swish(frozen_bn(hp[f"bn{i}_l{lvl}"], x))
+                x = swish(bn(hp[f"bn{i}_l{lvl}"], x))
                 if i > 0:
                     x = x + orig
             box_outs.append(_sep_conv(hp["predict"], x))
@@ -297,7 +297,7 @@ class EfficientDet:
 
     # ------------------------------------------------------------------
 
-    def _features_and_flat_heads(self, params, images):
+    def _features_and_flat_heads(self, params, images, bn=frozen_bn):
         """Shared trunk for forward/forward_train: preprocess -> backbone ->
         BiFPN -> heads, with per-anchor flattening and the flat anchor set.
         Returns (feats P3..P7, cls_flat [B,N,C] logits, box_flat [B,N,4],
@@ -308,18 +308,18 @@ class EfficientDet:
 
         x = self.preprocess(images)
         c3, c4, c5 = efficientnet_c345(params["backbone"], x,
-                                       self.backbone_name)
+                                       self.backbone_name, bn=bn)
         rp = params["resample"]
         # raw P3-P5 enter cell_0 at backbone channels (channel matching
         # happens per-fnode inside the cell, mirroring the reference graph)
-        p6 = frozen_bn(rp["p6"]["bn"], conv2d(rp["p6"], c5))
+        p6 = bn(rp["p6"]["bn"], conv2d(rp["p6"], c5))
         p6 = max_pool(p6, 3, 2, padding=((1, 0), (1, 0)))
         p7 = max_pool(p6, 3, 2, padding=((1, 0), (1, 0)))
         feats = [c3, c4, c5, p6, p7]
         for rep in range(self.fpn_repeats):
             feats = self._bifpn_cell(params["fpn_cells"][f"cell_{rep}"],
-                                     feats)
-        cls_outs, box_outs = self._heads(params, feats)
+                                     feats, bn=bn)
+        cls_outs, box_outs = self._heads(params, feats, bn=bn)
 
         anchors = effdet_anchors((self.image_size, self.image_size),
                                  anchor_scale=self.anchor_scale)
@@ -390,11 +390,17 @@ class EfficientDet:
         Same signature as FasterRCNNFPN.forward_train so Trainer and the
         sharded train step drive either detector unchanged."""
         del rng, gt_masks  # anchor labeling is deterministic (no sampling)
+        from ...ops.norm import batch_bn
         from ...train.losses import focal_loss, huber
         from ...train.targets import effdet_anchor_targets
 
+        # train with CURRENT-batch BN statistics (reference
+        # efficientnet_model.py trains with real batch norm; the frozen
+        # affine does not optimize from scratch — r05 measured focal loss
+        # plateau 1.06 / AP 0.01 without this). Inference stats come from
+        # calibrate_bn after training.
         (_, cls_flat, box_flat, anchors_flat, _,
-         _, b) = self._features_and_flat_heads(params, images)
+         _, b) = self._features_and_flat_heads(params, images, bn=batch_bn)
 
         cls_t, box_t, fg = jax.vmap(
             lambda gb, gl, gv: effdet_anchor_targets(
@@ -417,3 +423,70 @@ class EfficientDet:
             "effdet_box_loss": box_loss,
             "num_pos_anchors": num_pos / b,
         }
+
+    def calibrate_bn(self, params, image_batches, max_batches: int = 16):
+        """Precise-BN recalibration: run up to ``max_batches`` training
+        batches through the trunk with batch statistics, average each BN
+        site's batch mean/var, and write them into ``params`` (in place,
+        also returned). Inference (``forward``) then uses these
+        population stats via frozen_bn — the EMA-free functional
+        equivalent of the reference's moving averages
+        (efficientnet_model.py BN momentum 0.99).
+
+        Two passes: (1) an abstract jax.eval_shape trace with the real
+        params CLOSED OVER records each BN param dict in call order at
+        zero device cost (the call sequence is static Python control
+        flow, so it is input-independent); (2) a single jitted function
+        returns every site's (mean, var) per batch — one compile, one
+        device round-trip per batch."""
+        import numpy as onp
+
+        order = []
+
+        def record_bn(p, x):
+            order.append(p)
+            return frozen_bn(p, x)
+
+        jax.eval_shape(
+            lambda im: self._features_and_flat_heads(params, im,
+                                                     bn=record_bn),
+            jax.ShapeDtypeStruct((1, self.image_size, self.image_size, 3),
+                                 jnp.uint8))
+        batches = iter(image_batches)
+        first = onp.asarray(next(batches))
+
+        def stats_fn(prm, images):
+            recs = []
+
+            def bn(p, x):
+                from ...ops.norm import batch_bn
+                mu = x.mean(axis=(0, 1, 2), dtype=jnp.float32)
+                var = jnp.square(x.astype(jnp.float32)).mean(
+                    axis=(0, 1, 2)) - jnp.square(mu)
+                recs.append((mu, var))
+                return batch_bn(p, x)
+
+            self._features_and_flat_heads(prm, images, bn=bn)
+            return recs
+
+        jfn = jax.jit(stats_fn)
+        sums = None
+        n = 0
+        for images in [first] + list(
+                onp.asarray(b) for _, b in zip(range(max_batches - 1),
+                                               batches)):
+            recs = jax.device_get(jfn(params, jnp.asarray(images)))
+            if sums is None:
+                sums = [[onp.array(mu, onp.float64),
+                         onp.array(var, onp.float64)] for mu, var in recs]
+            else:
+                for i, (mu, var) in enumerate(recs):
+                    sums[i][0] += mu
+                    sums[i][1] += var
+            n += 1
+        assert len(order) == len(sums), (len(order), len(sums))
+        for p, (mu, var) in zip(order, sums):
+            p["mean"] = jnp.asarray(mu / n, jnp.float32)
+            p["variance"] = jnp.asarray(var / n, jnp.float32)
+        print(f"calibrated {len(order)} BN sites over {n} batches")
+        return params

@@ -38,6 +38,64 @@ def bn_relu(params, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(frozen_bn(params, x), 0)
 
 
+def batch_bn(params, x: jnp.ndarray) -> jnp.ndarray:
+    """Training-mode BN: normalize with the CURRENT batch statistics
+    (mean/var over N, H, W in f32), scale/shift with gamma/beta.
+
+    The reference trains EfficientNet/EfficientDet with real batch norm
+    (efficientnet_model.py batch_norm=TpuBatchNormalization); frozen_bn's
+    affine-only behavior is correct for fine-tuning/inference but from-
+    scratch EfficientNet does not optimize without activation
+    normalization (measured: EffDet-d0 focal loss plateaus at ~1.06, AP
+    0.01). Under pjit with the batch axis sharded, the mean/var here are
+    semantically global, so XLA inserts the cross-device reductions —
+    sync-BN for free.
+
+    Population statistics for inference come from ``calibrating_bn``
+    (post-training precise-BN recalibration), not from an EMA threaded
+    through the train step."""
+    mu = x.mean(axis=(0, 1, 2), dtype=jnp.float32)
+    var = jnp.square(x.astype(jnp.float32)).mean(axis=(0, 1, 2)) \
+        - jnp.square(mu)
+    scale = params["gamma"] / jnp.sqrt(var + BN_EPS)
+    offset = params["beta"] - mu * scale
+    return x * scale.astype(x.dtype) + offset.astype(x.dtype)
+
+
+def make_calibrating_bn(stats: dict):
+    """A bn callable for eager precise-BN calibration passes: behaves like
+    ``batch_bn`` and accumulates each BN site's batch statistics into
+    ``stats`` keyed by the *identity* of its param dict, so the caller can
+    write the averaged population stats back into those exact dicts."""
+    import numpy as np
+
+    def bn(params, x):
+        mu = np.asarray(x, np.float32).mean(axis=(0, 1, 2))
+        var = np.asarray(x, np.float32).var(axis=(0, 1, 2))
+        key = id(params)
+        if key not in stats:
+            stats[key] = [params, 0, 0.0, 0.0]
+        rec = stats[key]
+        rec[1] += 1
+        rec[2] += mu
+        rec[3] += var
+        scale = np.asarray(params["gamma"]) / np.sqrt(var + BN_EPS)
+        offset = np.asarray(params["beta"]) - mu * scale
+        return x * jnp.asarray(scale, x.dtype) \
+            + jnp.asarray(offset, x.dtype)
+
+    return bn
+
+
+def write_calibrated_stats(stats: dict) -> int:
+    """Write the averaged statistics collected by ``make_calibrating_bn``
+    into each BN param dict (in place). Returns the number of BN sites."""
+    for params, n, sum_mu, sum_var in stats.values():
+        params["mean"] = jnp.asarray(sum_mu / n, jnp.float32)
+        params["variance"] = jnp.asarray(sum_var / n, jnp.float32)
+    return len(stats)
+
+
 def init_gn(c: int, zero_gamma: bool = False):
     return {
         "gamma": (jnp.zeros if zero_gamma else jnp.ones)((c,), jnp.float32),

@@ -21,6 +21,37 @@ def test_compound_scaling_matches_reference():
     assert args_b2[1][5] == 3  # b2: 2 repeats * 1.2 -> 3
 
 
+def test_lite_backbone_matches_reference_recipe():
+    """efficientnet-lite (reference efficientnet_lite_builder.py:37-84):
+    fix_head_stem (stem 32 unscaled, first/last group repeats unscaled),
+    no SE, relu6; block filters still width-scale."""
+    from object_detection_tracking_tpu.models.efficientdet.efficientnet import (  # noqa: E501
+        efficientnet_c345, init_efficientnet)
+    # lite4: width 1.4, depth 1.8 — b4 scales its stem to 48 and group0
+    # repeats to 2; lite4 must keep 32 / 1
+    p4 = init_efficientnet(jax.random.PRNGKey(0), "efficientnet-lite4")
+    assert p4["stem"]["W"].shape[-1] == 32
+    assert "block1" not in p4["group0"]          # repeats unscaled (1)
+    assert "block1" in p4["group6"] or "block0" in p4["group6"]
+    assert "block1" not in p4["group6"]          # last group unscaled (1)
+    pb4 = init_efficientnet(jax.random.PRNGKey(0), "efficientnet-b4")
+    assert pb4["stem"]["W"].shape[-1] == 48
+    assert "block1" in pb4["group0"]             # b4: ceil(1.8*1) = 2
+    # no SE anywhere in lite
+    assert not any("se_reduce" in b for g in p4.values() if isinstance(g, dict)
+                   for b in g.values() if isinstance(b, dict))
+    assert "se_reduce" in pb4["group0"]["block0"]
+    # forward: correct strides and width-scaled channels (lite2 w=1.1:
+    # C5 = round_filters(320, 1.1) = 352)
+    p2 = init_efficientnet(jax.random.PRNGKey(1), "efficientnet-lite2")
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 128, 128, 3),
+                    jnp.float32)
+    c3, c4, c5 = efficientnet_c345(p2, x, "efficientnet-lite2")
+    assert c3.shape == (1, 16, 16, 48)
+    assert c4.shape == (1, 8, 8, 120)
+    assert c5.shape == (1, 4, 4, 352)
+
+
 def test_anchor_field_golden():
     anchors = effdet_anchors((128, 128), min_level=3, max_level=7)
     assert len(anchors) == 5
@@ -216,3 +247,21 @@ def test_effdet_train_step_converges():
         assert np.isfinite(t)
         totals.append(t)
     assert np.mean(totals[-3:]) < 0.5 * totals[0], totals
+
+    # precise-BN calibration (training runs batch-stat BN; inference
+    # needs population stats): stats must move off the 0/1 init, every
+    # BN site must be written, and the calibrated forward must be finite
+    trained = jax.device_get(state["params"])
+    bn_means_before = [np.asarray(p["bn"]["mean"]).copy()
+                       for p in (trained["backbone"]["stem"],)]
+    model.calibrate_bn(trained, iter([imgs, imgs]))
+    stem_bn = trained["backbone"]["stem"]["bn"]
+    assert np.abs(np.asarray(stem_bn["mean"]) - bn_means_before[0]).max() \
+        > 1e-6, "calibration did not write stem stats"
+    assert np.asarray(trained["class_net"]["bn0_l3"]["variance"]).std() \
+        > 0, "head BN variance still at init"
+    out = model.forward(trained, imgs)
+    assert np.isfinite(np.asarray(out["final_probs"])).all()
+    # with batch-BN training + calibrated stats the tiny overfit model
+    # must actually fire on its training images
+    assert np.asarray(out["final_valid"]).any()
