@@ -34,7 +34,8 @@ def main():
     from object_detection_tracking_tpu.models.fpn import fpn_model
     from object_detection_tracking_tpu.models.resnet import (
         _stem_conv_s2d, resnet_group)
-    from object_detection_tracking_tpu.models.layers import bn_relu, max_pool
+    from object_detection_tracking_tpu.models.layers import max_pool
+    from object_detection_tracking_tpu.ops.norm import bn_relu
     from object_detection_tracking_tpu.runtime import enable_persistent_cache
 
     enable_persistent_cache()
