@@ -79,6 +79,10 @@ def load_packed(pack_dir: str):
     cfg = DetectorConfig(**raw)
     from ..utils.weights import load_npz_tree
     params = load_npz_tree(os.path.join(pack_dir, "params.npz"))
+    # start the params host->device transfer NOW (async) so the ~130 MB
+    # upload overlaps the exported graph's deserialize+compile below —
+    # over a 25 MB/s tunnel that hides ~5 s of cold start
+    params = jax.tree.map(jax.device_put, params)
     with open(os.path.join(pack_dir, "forward.jaxexport"), "rb") as f:
         fn = load_exported(f.read())
     return cfg, params, fn
