@@ -442,9 +442,28 @@ def mode_pack(args):
     blob = export_serialized(model.forward, params, example)
     with open(os.path.join(out_dir, "forward.jaxexport"), "wb") as f:
         f.write(blob)
+    # ship the compiled executable with the pack (frozen-.pb cold-start
+    # story, VERDICT r4 #4): compile the EXPORTED graph — the exact HLO
+    # load_packed will run — with the persistent cache pointed into the
+    # pack, so a fresh process on the same backend/compiler hits the
+    # cache instead of paying the ~60 s XLA compile. A different
+    # backend/jaxlib simply misses and compiles as before.
+    from ..runtime.aot import enable_persistent_cache, load_exported
+    prev_cache = jax.config.jax_compilation_cache_dir
+    enable_persistent_cache(os.path.join(out_dir, "xla_cache"))
+    try:
+        fn = load_exported(blob)
+        fn(params, example)
+    finally:
+        if prev_cache:
+            jax.config.update("jax_compilation_cache_dir", prev_cache)
+    cache_mb = sum(
+        os.path.getsize(os.path.join(out_dir, "xla_cache", n))
+        for n in os.listdir(os.path.join(out_dir, "xla_cache"))) / 1e6
     print(f"packed to {out_dir}; compiled for ({b}, {h}, {w}, 3), "
           f"{flops / 1e9:.1f} GFLOP/frame, "
-          f"exported graph {len(blob) / 1e6:.1f} MB")
+          f"exported graph {len(blob) / 1e6:.1f} MB, "
+          f"shipped executable cache {cache_mb:.1f} MB")
 
 
 def main(argv=None):

@@ -83,6 +83,21 @@ def load_packed(pack_dir: str):
     # upload overlaps the exported graph's deserialize+compile below —
     # over a 25 MB/s tunnel that hides ~5 s of cold start
     params = jax.tree.map(jax.device_put, params)
+    # merge the pack's shipped executable cache (written by cli.main
+    # pack) into the active persistent cache so the compile below is a
+    # disk hit on a matching backend — the frozen-.pb "load in seconds"
+    # behavior (reference SPEED.md:65-66) without retrace or recompile
+    pack_cache = os.path.join(pack_dir, "xla_cache")
+    if os.path.isdir(pack_cache):
+        import shutil
+        dst = jax.config.jax_compilation_cache_dir
+        if not dst:
+            dst = enable_persistent_cache()
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(pack_cache):
+            target = os.path.join(dst, name)
+            if not os.path.exists(target):
+                shutil.copy(os.path.join(pack_cache, name), target)
     with open(os.path.join(pack_dir, "forward.jaxexport"), "rb") as f:
         fn = load_exported(f.read())
     return cfg, params, fn

@@ -90,10 +90,16 @@ def main():
     pack_dir = os.path.join(tmp, "cold", "packed")
 
     # non-warm regimes must be genuinely cold: drop any ambient jax
-    # compile-cache config the parent session may carry
-    env = dict(os.environ, ODT_COLD_CACHE=cache)
+    # compile-cache config the parent session may carry, and point the
+    # default cache at an EMPTY scratch dir — load_packed now merges the
+    # pack's shipped executable cache into the active cache, so "fresh"
+    # measures exactly (pack contents + nothing else), not whatever the
+    # parent's user cache happened to hold
+    fresh_cache = os.path.join(tmp, "fresh_scratch_cache")
+    os.makedirs(fresh_cache, exist_ok=True)
+    env = dict(os.environ, ODT_COLD_CACHE=cache,
+               ODT_COMPILE_CACHE=fresh_cache)
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
-    env.pop("ODT_COMPILE_CACHE", None)
     hw = json.dumps([args.short_edge, args.max_size])
     live_argv = json.dumps(["forward", "--load_from", "x"] + pack_argv[1:])
 
