@@ -125,6 +125,13 @@ class DetectorConfig:
     compute_dtype: str = "bfloat16"   # conv/matmul compute; params stay f32
     # "pallas": window-DMA kernel, ~4x faster, exact for aspect <= ~2.8
     # (ops/pallas/roi_align_pallas.py); "xla": exact reference gather
+    # "pallas": stride-1 bottleneck stacks run fused in VMEM (one HBM
+    # read + one write per stack instead of ~5 round-trips per block;
+    # ops/pallas/resnet_stage_pallas.py). Inference only — training
+    # always takes the differentiable XLA path. Default stays "xla":
+    # on this backend the fused kernel measures SLOWER than XLA's conv
+    # stack (tools/stage_kernel_ab.py) — see the kernel docstring.
+    backbone_impl: str = "xla"
     roi_align_impl: str = "pallas"
     # ROIAlign impl inside the TRAIN step. Defaults to the exact XLA
     # gather: the Pallas forward compiled INTO the fused 720p train graph

@@ -272,7 +272,9 @@ class FasterRCNNFPN:
             use_basic_block=cfg.use_basic_block,
             use_dilations=cfg.use_dilations,
             use_se=cfg.use_se, use_resnext=cfg.use_resnext,
-            freeze=cfg.freeze if cfg.is_train else -1)
+            freeze=cfg.freeze if cfg.is_train else -1,
+            fused_stages=(cfg.backbone_impl == "pallas"
+                          and not cfg.is_train))
         return fpn_model(params["fpn"], c2345, use_gn=cfg.use_gn)
 
     def _rpn_all_levels(self, params, p23456):

@@ -220,23 +220,70 @@ def _stem_conv_s2d(params, image: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _fusable_rows(h: int) -> bool:
+    """The fused stage kernel tiles rows with a divisor of h; tiny
+    divisors mean pathological halo recompute — fall back to XLA."""
+    return any(h % tr == 0 for tr in range(4, min(h, 64) + 1))
+
+
 def resnet_c2345(params, image: jnp.ndarray, num_blocks: Sequence[int],
                  use_basic_block: bool = False, use_dilations: bool = False,
                  use_se: bool = False, use_resnext: bool = False,
-                 freeze: int = 2) -> List[jnp.ndarray]:
+                 freeze: int = 2, fused_stages: bool = False
+                 ) -> List[jnp.ndarray]:
     """image: [B, Hp, Wp, 3] already padded to a multiple of 32 and
-    preprocessed. Returns [c2, c3, c4, c5] NHWC."""
+    preprocessed. Returns [c2, c3, c4, c5] NHWC.
+
+    fused_stages: run each group's stride-1 bottleneck tail through the
+    fused VMEM Pallas kernel (inference only — the XLA ops below stay the
+    differentiable path). The groups' stride-2 lead blocks stay in XLA."""
     l = _stem_conv_s2d(params["conv0"], image)
     l = bn_relu(params["conv0"]["bn"], l)
     l = max_pool(l, 3, 2, padding=((1, 0), (1, 0)))
+
+    fuse = (fused_stages and not use_basic_block and not use_se
+            and not use_resnext)
 
     outs = []
     for gi, count in enumerate(num_blocks):
         stride = 1 if gi == 0 else 2
         dilation = 2 if (use_dilations and gi == 3) else 1
-        l = resnet_group(
-            params[f"group{gi}"], l, count, stride, dilation,
-            use_basic_block, use_se, use_resnext)
+        group = params[f"group{gi}"]
+        blocks = [group[f"block{bi}"] for bi in range(count)]
+        h_out = l.shape[1] // stride
+        if (fuse and dilation == 1 and _fusable_rows(h_out)
+                and not any("conv2_offset" in b for b in blocks)):
+            from ..ops.pallas.resnet_stage_pallas import (
+                fused_bottleneck_stage)
+            feat = (64, 128, 256, 512)[gi]
+            start = 0
+            if stride == 2:
+                # the stride-2 lead block stays in XLA (the kernel is
+                # stride-1 only); a stride-1 channel-change lead (c2's
+                # block0) fuses — the kernel takes a first-block shortcut
+                l = bottleneck(blocks[0], l, stride, 1, False, False)
+                start = 1
+            # fuse the stride-1 tail in VMEM-sized chunks of <=3 blocks
+            # (halo recompute grows with chunk depth)
+            from ..ops.pallas.resnet_stage_pallas import _pick_tr
+            rest = blocks[start:]
+            i = 0
+            while i < len(rest):
+                chunk = rest[i:i + 3]
+                tr = _pick_tr(l.shape[1], l.shape[2], l.shape[3],
+                              feat, feat * 4, len(chunk))
+                if tr >= 4:
+                    l = fused_bottleneck_stage(chunk, l, feat, feat * 4)
+                else:
+                    # VMEM budget forces a tiny row tile here (e.g. c5's
+                    # H=23 at 720p) — halo recompute would dominate
+                    for blk in chunk:
+                        l = bottleneck(blk, l, 1, 1, False, False)
+                i += len(chunk)
+        else:
+            l = resnet_group(
+                group, l, count, stride, dilation,
+                use_basic_block, use_se, use_resnext)
         if freeze >= gi:
             l = jax.lax.stop_gradient(l)
         outs.append(l)

@@ -74,9 +74,44 @@ def main():
         feats.append(jax.jit(group(i))(feats[-1]))
     c2345 = feats[1:]
 
+    def fused_group(i):
+        from object_detection_tracking_tpu.models.resnet import bottleneck
+        from object_detection_tracking_tpu.ops.pallas.resnet_stage_pallas \
+            import fused_bottleneck_stage
+        feat = (64, 128, 256, 512)[i]
+        gp = rp[f"group{i}"]
+        blocks = [gp[f"block{bi}"] for bi in range(num_blocks[i])]
+
+        def f(x):
+            start = 0
+            if i > 0:
+                x = bottleneck(blocks[0], x, 2, 1, False, False)
+                start = 1
+            rest = blocks[start:]
+            j = 0
+            while j < len(rest):
+                x = fused_bottleneck_stage(rest[j:j + 3], x, feat, feat * 4)
+                j += len(rest[j:j + 3])
+            return x
+        return f
+
     stages = [("stem+pool", stem, x0), ("c2", group(0), c1),
-              ("c3", group(1), c2345[0]), ("c4", group(2), c2345[1]),
-              ("c5", group(3), c2345[2]), ("fpn", fpn, c2345)]
+              ("c2 fused", fused_group(0), c1),
+              ("c3", group(1), c2345[0]),
+              ("c3 fused", fused_group(1), c2345[0]),
+              ("c4", group(2), c2345[1]),
+              ("c4 fused", fused_group(2), c2345[1]),
+              ("c5", group(3), c2345[2]),
+              ("c5 fused", fused_group(3), c2345[2]),
+              ("fpn", fpn, c2345)]
+
+    # parity spot-check on device (c2)
+    ref = jax.jit(group(0))(c1)
+    got = jax.jit(fused_group(0))(c1)
+    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) -
+                                got.astype(jnp.float32))))
+    rel = err / (float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-9)
+    print(f"c2 fused parity max|diff| = {err:.4g} (rel {rel:.3g})")
 
     def timeit(fn, inp, n):
         is_list = isinstance(inp, (list, tuple))
