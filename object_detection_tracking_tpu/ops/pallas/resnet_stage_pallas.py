@@ -41,6 +41,7 @@ XLA path (models/resnet.py gates on config).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Sequence
 
 import jax
@@ -90,8 +91,11 @@ def prepare_stage_weights(blocks: Sequence[Dict], compute_dtype=jnp.bfloat16):
 
 
 def _pick_tr(h: int, wd: int, c_in: int, width: int, c_out: int,
-             n_blocks: int, budget_bytes: int = 9 * 2 ** 20) -> int:
+             n_blocks: int, budget_bytes: int = None) -> int:
     """Largest divisor of h whose working set fits the VMEM budget."""
+    if budget_bytes is None:
+        budget_bytes = int(os.environ.get("ODT_STAGE_VMEM",
+                                          9 * 2 ** 20))
     best = 1
     for tr in range(1, min(h, 64) + 1):
         if h % tr:
@@ -145,7 +149,6 @@ def fused_bottleneck_stage(blocks: Sequence[Dict], x: jnp.ndarray,
             preferred_element_type=jnp.float32)
         return r.reshape(t.shape[0], t.shape[1], w.shape[1])
 
-    import os
     ablate = os.environ.get("ODT_STAGE_ABLATE", "")
     impl = os.environ.get("ODT_STAGE_IMPL", "concat")
 
@@ -184,23 +187,49 @@ def fused_bottleneck_stage(blocks: Sequence[Dict], x: jnp.ndarray,
             # WRONG-RESULT ablation timing the dots without the
             # shifted-copy builds.
             acc = None
-            for dr in range(3):
-                t = l1[dr:dr + out_rows]
-                zc = jnp.zeros((out_rows, 1, width), dt)
-                if ablate == "noshift":
-                    pieces = [t, t, t]
-                else:
-                    pieces = [jnp.concatenate([zc, t[:, :-1]], axis=1), t,
-                              jnp.concatenate([t[:, 1:], zc], axis=1)]
-                if impl == "splitk":
-                    for j, piece in enumerate(pieces):
-                        k0 = (dr * 3 + j) * width
-                        d = dg(piece, w2[k0:k0 + width])
+            if impl == "stackn":
+                # ONE dot with N=3*width: D[r, :, dr*W:(dr+1)*W] holds
+                # row r's contribution under kernel-row dr; the conv2
+                # output is three shifted lane-slices of D summed. Full
+                # MXU lanes on N (the per-dr form's N=width wastes them)
+                # and one P build over all rows instead of three. The
+                # dot accumulates bf16 like the XLA conv path (halves
+                # the D buffer; the two shifted adds stay f32).
+                zc = jnp.zeros((rows, 1, width), dt)
+                p = jnp.concatenate(
+                    [jnp.concatenate([zc, l1[:, :-1]], axis=1), l1,
+                     jnp.concatenate([l1[:, 1:], zc], axis=1)], axis=2)
+                wst = jnp.concatenate(
+                    [w2[dr * 3 * width:(dr + 1) * 3 * width]
+                     for dr in range(3)], axis=1)        # [3W, 3W]
+                m = rows * wd
+                dfull = jax.lax.dot_general(
+                    p.reshape(m, 3 * width), wst,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=dt).reshape(
+                        rows, wd, 3 * width)
+                acc = (dfull[0:out_rows, :, :width].astype(jnp.float32)
+                       + dfull[1:out_rows + 1, :, width:2 * width]
+                       + dfull[2:out_rows + 2, :, 2 * width:])
+            else:
+                for dr in range(3):
+                    t = l1[dr:dr + out_rows]
+                    zc = jnp.zeros((out_rows, 1, width), dt)
+                    if ablate == "noshift":
+                        pieces = [t, t, t]
+                    else:
+                        pieces = [jnp.concatenate([zc, t[:, :-1]], axis=1),
+                                  t,
+                                  jnp.concatenate([t[:, 1:], zc], axis=1)]
+                    if impl == "splitk":
+                        for j, piece in enumerate(pieces):
+                            k0 = (dr * 3 + j) * width
+                            d = dg(piece, w2[k0:k0 + width])
+                            acc = d if acc is None else acc + d
+                    else:
+                        p = jnp.concatenate(pieces, axis=2)
+                        d = dg(p, w2[dr * 3 * width:(dr + 1) * 3 * width])
                         acc = d if acc is None else acc + d
-                else:
-                    p = jnp.concatenate(pieces, axis=2)
-                    d = dg(p, w2[dr * 3 * width:(dr + 1) * 3 * width])
-                    acc = d if acc is None else acc + d
             l2 = jnp.maximum(acc + b2, 0.0).astype(dt)
             l3 = (dg(l2, w3) + b3).astype(dt)
             res = buf[1:rows - 1]
