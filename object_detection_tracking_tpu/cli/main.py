@@ -451,10 +451,17 @@ def mode_pack(args):
     from ..runtime.aot import enable_persistent_cache, load_exported
     prev_cache = jax.config.jax_compilation_cache_dir
     enable_persistent_cache(os.path.join(out_dir, "xla_cache"))
+    # the aot_compile above already compiled this same computation, so
+    # the backend may serve the exported graph's compile near-instantly
+    # from its own program cache — below jax's default 1.0 s
+    # min-compile-time, which silently SKIPS the persistent-cache write
+    # and ships an empty xla_cache. Force every entry to persist here.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     try:
         fn = load_exported(blob)
         fn(params, example)
     finally:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         if prev_cache:
             jax.config.update("jax_compilation_cache_dir", prev_cache)
     cache_mb = sum(

@@ -20,13 +20,37 @@ import jax
 
 
 def enable_persistent_cache(cache_dir: Optional[str] = None):
-    """Turn on the on-disk XLA executable cache (idempotent)."""
+    """Turn on the on-disk XLA executable cache (idempotent).
+
+    jax LATCHES the cache object at its first use: once any compile has
+    initialized the cache, later ``jax_compilation_cache_dir`` updates
+    are silently ignored (writes keep going to the first directory).
+    Callers that repoint mid-process (``cli.main pack`` shipping its
+    executable inside the pack) need the latch dropped, so when the
+    requested dir differs from the latched one we reset the cache state
+    (jax._src.compilation_cache.reset_cache — pristine-state helper)."""
     cache_dir = cache_dir or os.environ.get(
         "ODT_COMPILE_CACHE", os.path.expanduser("~/.cache/odt_tpu_xla"))
     os.makedirs(cache_dir, exist_ok=True)
+    try:
+        from jax._src import compilation_cache as _cc
+        latched = getattr(_cc, "_cache", None)
+        if latched is not None and getattr(latched, "_path", None) is not None \
+                and str(latched._path) != cache_dir:
+            _cc.reset_cache()
+    except Exception:
+        pass  # private API moved — stale-latch repoint degrades gracefully
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # jax's default also turns on XLA's gpu per-fusion autotune cache and
+    # embeds the cache DIRECTORY PATH into debug_options, which IS hashed
+    # into the compile-cache key (cache_key.py zeroes the dump options but
+    # not this one). Net effect: two processes with different cache dirs
+    # compute different keys for the same program, so executables shipped
+    # inside a pack (cli.main pack -> load_packed) could never hit. The
+    # autotune cache is GPU-only — disable it so keys are path-independent.
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "")
     return cache_dir
 
 

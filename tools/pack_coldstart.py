@@ -106,11 +106,14 @@ def main():
     def child(regime):
         p = subprocess.run(
             [sys.executable, "-c", CHILD, regime, pack_dir, hw, live_argv],
-            capture_output=True, text=True, env=env, timeout=900)
+            capture_output=True, text=True, env=env,
+            timeout=int(os.environ.get("ODT_COLD_CHILD_TIMEOUT", 900)))
         if p.returncode != 0:
             raise RuntimeError(f"{regime} child rc={p.returncode}: "
                                f"{p.stderr[-2000:]}")
-        return json.loads(p.stdout.strip().splitlines()[-1])
+        r = json.loads(p.stdout.strip().splitlines()[-1])
+        print("child:", json.dumps(r), flush=True)  # stream partials
+        return r
 
     def median_of(regime, n):
         runs = sorted((child(regime) for _ in range(n)),
