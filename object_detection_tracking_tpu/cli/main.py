@@ -38,6 +38,12 @@ def get_args(argv=None):
                    help="':'-separated name substrings excluded from "
                    "--load_from restore (fine-tune with fresh heads, "
                    "ref models.py:3507-3525)")
+    p.add_argument("--pack_params_dtype", default="float32",
+                   choices=["float32", "float16"],
+                   help="pack mode: store/upload params in this dtype. "
+                   "float16 halves the pack's host->device upload (the "
+                   "dominant cold-start term); the packed graph casts "
+                   "back to f32 on device")
     # model
     p.add_argument("--version", type=int, default=4)
     p.add_argument("--num_class", type=int, default=16)
@@ -425,6 +431,26 @@ def mode_pack(args):
             params, _, _ = load_ckpt(args.load_from, params)
     out_dir = os.path.join(args.outbasepath, args.modelname, "packed")
     os.makedirs(out_dir, exist_ok=True)
+    forward = model.forward
+    if args.pack_params_dtype == "float16":
+        # halve the pack's params bytes — the dominant cold-start term is
+        # the host->device params upload (measured 10-55 s for 242 MB f32
+        # over this tunnel). float16 keeps 10 mantissa bits (vs bf16's 7)
+        # and detector weights are far inside its range; the graph casts
+        # back to f32 on device, and compute is bf16 downstream anyway.
+        import jax.numpy as jnp
+
+        def _shrink(x):
+            x = np.asarray(x)
+            return x.astype(np.float16) if x.dtype == np.float32 else x
+
+        params = jax.tree.map(_shrink, params)
+
+        def forward(p, images):  # noqa: F811 — pack-time wrapper
+            p32 = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if x.dtype == jnp.float16 else x, p)
+            return model.forward(p32, images)
     save_npz(os.path.join(out_dir, "params.npz"),
              jax.tree.map(np.asarray, params))
     with open(os.path.join(out_dir, "config.json"), "w") as f:
@@ -432,14 +458,14 @@ def mode_pack(args):
     h, w = cfg.short_edge_size, cfg.max_size
     b = max(1, args.im_batch_size)
     example = np.zeros((b, h, w, 3), np.uint8)
-    compiled = aot_compile(model.forward, params, example)
+    compiled = aot_compile(forward, params, example)
     cost = compiled.cost_analysis()
     flops = (cost or {}).get("flops", 0)
     # portable serialized graph (frozen-.pb equivalent): another process
     # loads it with runtime.aot.load_packed and runs WITHOUT the model's
     # Python code or a retrace (VERDICT r2 missing #4)
     from ..runtime.aot import export_serialized
-    blob = export_serialized(model.forward, params, example)
+    blob = export_serialized(forward, params, example)
     with open(os.path.join(out_dir, "forward.jaxexport"), "wb") as f:
         f.write(blob)
     # ship the compiled executable with the pack (frozen-.pb cold-start
@@ -448,7 +474,7 @@ def mode_pack(args):
     # pack, so a fresh process on the same backend/compiler hits the
     # cache instead of paying the ~60 s XLA compile. A different
     # backend/jaxlib simply misses and compiles as before.
-    from ..runtime.aot import enable_persistent_cache, load_exported
+    from ..runtime.aot import enable_persistent_cache, load_packed
     prev_cache = jax.config.jax_compilation_cache_dir
     enable_persistent_cache(os.path.join(out_dir, "xla_cache"))
     # the aot_compile above already compiled this same computation, so
@@ -458,8 +484,12 @@ def mode_pack(args):
     # and ships an empty xla_cache. Force every entry to persist here.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     try:
-        fn = load_exported(blob)
-        fn(params, example)
+        # run the EXACT consumer path (load_packed: batched params
+        # upload + exported-graph compile) so every executable a fresh
+        # process will need — the param-split jit included — lands in
+        # the shipped cache, and the pack is self-verified end to end
+        _, p2, fn = load_packed(out_dir)
+        fn(p2, example)
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         if prev_cache:

@@ -143,14 +143,17 @@ def load_npz_tree(path: str) -> Dict:
     """Rebuild the nested param dict from a flat slash-named npz WITHOUT
     model code — the load side of a packed artifact (runtime.aot
     load_packed), mirroring how the reference loads a frozen .pb with no
-    model class (models.py:134-191)."""
+    model class (models.py:134-191). Leaves stay HOST numpy: the caller
+    picks the upload strategy (load_packed batches the whole tree into
+    one transfer per dtype — 550 per-leaf transfers each pay a tunnel
+    round trip, which dominates cold start when the link is congested)."""
     out: Dict = {}
     for name, value in np.load(path).items():
         node = out
         parts = name.split("/")
         for k in parts[:-1]:
             node = node.setdefault(k, {})
-        node[parts[-1]] = jax.numpy.asarray(value)
+        node[parts[-1]] = value
     return out
 
 

@@ -131,6 +131,40 @@ def test_pack_mode_smoke(tmp_path):
                                   np.asarray(ref["final_labels"]))
 
 
+def test_pack_mode_f16_params(tmp_path):
+    """--pack_params_dtype float16 halves the stored/uploaded params; the
+    packed graph casts back to f32 on device and stays close to the live
+    f32 forward (weights are f16-rounded, compute identical)."""
+    import os
+    from object_detection_tracking_tpu.cli import main as driver
+    driver.main([
+        "pack", "--outbasepath", str(tmp_path), "--modelname", "p16",
+        "--version", "2", "--num_class", "4", "--resnet18",
+        "--short_edge_size", "64", "--max_size", "64",
+        "--compute_dtype", "float32", "--pack_params_dtype", "float16",
+        "--rpn_test_post_nms_topk", "32", "--result_per_im", "8"])
+    out = tmp_path / "p16" / "packed"
+    import numpy as np
+    from object_detection_tracking_tpu.models import get_model
+    from object_detection_tracking_tpu.runtime.aot import load_packed
+    cfg, params, fn = load_packed(str(out))
+    leaves = [np.asarray(x) for x in __import__("jax").tree.leaves(params)]
+    f16 = sum(x.nbytes for x in leaves if x.dtype == np.float16)
+    assert f16 > 0.9 * sum(
+        x.nbytes for x in leaves if x.dtype in (np.float16, np.float32))
+    img = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3),
+                                           np.uint8)
+    got = fn(params, img)
+    # live f32 model on the same weights upcast on host
+    p32 = __import__("jax").tree.map(
+        lambda x: np.asarray(x, np.float32)
+        if np.asarray(x).dtype == np.float16 else np.asarray(x), params)
+    ref = get_model(cfg).forward(p32, img)
+    gb, rb = np.asarray(got["final_boxes"]), np.asarray(ref["final_boxes"])
+    assert gb.shape == rb.shape
+    np.testing.assert_allclose(gb, rb, atol=0.5)
+
+
 def test_tracking_and_mask_artifacts_in_repo_are_passing():
     root = os.path.join(os.path.dirname(__file__), "..")
     tq = _latest_artifact(root, "TRACK_QUALITY")
